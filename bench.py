@@ -1,0 +1,92 @@
+"""End-to-end benchmark: streaming blind denoising at 540p on one chip.
+
+Measures the full per-frame pipeline — on-device TV-L1 flow (denoising params,
+tvl1flow.sh:10-18) + 20-iteration online fine-tune + eval-mode denoise — the
+reference workload of blind_denoising.py (BASELINE.json configs 1/2/5 fused).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline provenance (BASELINE.md): the reference publishes no numbers; the
+reference C TV-L1 binary measured on this host CPU takes ~0.35 s/frame at 540p
+(bflow only, denoising params), and the 20-iteration DnCNN-17 fine-tune+denoise
+at 540p is estimated at ~0.60 s/frame on a paper-era CUDA GPU (~1.7 TFLOP of
+conv work per frame) — reference total ~0.95 s/frame => ~1.05 fps.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_SECONDS_PER_FRAME = 0.95  # measured C flow (0.35) + estimated CUDA finetune (0.60)
+
+H, W = 540, 960
+WARMUP_FRAMES = 2
+BENCH_FRAMES = 8
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from frame2frame_tpu.flow.tvl1 import DENOISING_PARAMS, make_tvl1_solver
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.train.online import OnlineDenoiser
+
+    rng = np.random.default_rng(0)
+    base = rng.random((H + 16, W + 16)).astype(np.float32)
+    # smooth scene so the flow solver does representative work
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(base, 3.0).astype(np.float32)
+    base = (base - base.min()) / (base.max() - base.min())
+    frames = np.stack(
+        [
+            np.clip(
+                base[4 + t : 4 + t + H, 4 : 4 + W]
+                + rng.normal(0, 25 / 255.0, (H, W)).astype(np.float32),
+                0,
+                1,
+            )
+            for t in range(WARMUP_FRAMES + BENCH_FRAMES + 1)
+        ]
+    ).astype(np.float32)
+
+    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1, num_layers=17)
+    engine = OnlineDenoiser(model, variables, iters=ITERS)
+    solver = make_tvl1_solver(W, H, **DENOISING_PARAMS)
+
+    def process(cur, prev):
+        flow = solver(cur[..., 0] * 255.0, prev[..., 0] * 255.0)
+        deno, losses = engine.process_frame(cur, prev, flow)
+        return deno
+
+    frames_dev = [jnp.asarray(f[..., None]) for f in frames]
+    # warmup (compile)
+    for t in range(1, WARMUP_FRAMES + 1):
+        deno = process(frames_dev[t], frames_dev[t - 1])
+    jax.block_until_ready(deno)
+
+    t0 = time.perf_counter()
+    for t in range(WARMUP_FRAMES + 1, WARMUP_FRAMES + 1 + BENCH_FRAMES):
+        deno = process(frames_dev[t], frames_dev[t - 1])
+    jax.block_until_ready(deno)
+    dt = time.perf_counter() - t0
+
+    fps = BENCH_FRAMES / dt
+    baseline_fps = 1.0 / REF_SECONDS_PER_FRAME
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec end-to-end (flow+finetune+denoise) at 540p",
+                "value": round(fps, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / baseline_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""In-pipeline optical-flow API for videos.
+
+Replacement for the reference's two flow paths: the filesystem .flo interop
+(tvl1flow.sh + readFlowFile.py) and the external ``dev_basics.flow.orun``
+(lightning.py:303, test.py:162). Instead of one process spawn per frame pair,
+all pairs of a video batch solve on-device in one vmapped jitted call.
+
+Flow conventions (matching the harness fflow/bflow fields, lightning.py:299-301):
+- ``fflow[t]`` maps frame t coordinates to frame t+1 positions (last frame: 0);
+- ``bflow[t]`` maps frame t coordinates to frame t-1 positions (first frame: 0).
+
+The denoising CLI consumes ``bflow`` of the current frame, matching
+``tvl1flow.sh``'s ``out_bflow.flo % (i+1)`` = flow(I_{i+1} -> I_i).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from .tvl1 import DENOISING_PARAMS, make_batched_tvl1
+
+
+def _to_gray_bt(vid):
+    """(B,T,H,W,C)/(T,H,W,C)/(T,H,W) -> (B,T,H,W) luma-by-mean float."""
+    vid = jnp.asarray(vid)
+    if vid.ndim == 3:
+        vid = vid[None, ..., None]
+    elif vid.ndim == 4:
+        vid = vid[None]
+    return vid.mean(axis=-1)
+
+
+def run_flows(vid, use_flow=True, ftype="tvl1", **params):
+    """Compute fflow/bflow for a video.
+
+    vid: (B, T, H, W, C) (or (T,H,W[,C])) in any consistent range (the solver
+    normalizes each pair jointly, tvl1flow_lib.c:314-348).
+    Returns Config(fflow=(B,T,H,W,2), bflow=(B,T,H,W,2)).
+
+    ``use_flow=False`` returns zero flows, mirroring ``flow.orun(vid, False)``.
+    """
+    g = _to_gray_bt(vid)
+    B, T, H, W = g.shape
+    zeros = jnp.zeros((B, T, H, W, 2), g.dtype)
+    if not use_flow or T == 1:
+        return Config(fflow=zeros, bflow=zeros)
+    if ftype not in ("tvl1", "svnlb", "cv2"):
+        raise ValueError(f"unknown flow type [{ftype}]")
+
+    kw = dict(DENOISING_PARAMS)
+    kw.update(params)
+    solver = make_batched_tvl1(W, H, **kw)
+
+    # forward: pairs (t, t+1) for t in 0..T-2 ; backward: (t, t-1) for t in 1..T-1
+    src_f = g[:, :-1].reshape(-1, H, W)
+    dst_f = g[:, 1:].reshape(-1, H, W)
+    fflow = solver(src_f, dst_f).reshape(B, T - 1, H, W, 2)
+    bflow = solver(dst_f, src_f).reshape(B, T - 1, H, W, 2)
+
+    fflow = jnp.concatenate([fflow, jnp.zeros((B, 1, H, W, 2), g.dtype)], axis=1)
+    bflow = jnp.concatenate([jnp.zeros((B, 1, H, W, 2), g.dtype), bflow], axis=1)
+    return Config(fflow=fflow, bflow=bflow)
+
+
+def orun(vid, use_flow=True, ftype="tvl1", **params):
+    """dev_basics-style alias (reference lightning.py:303)."""
+    return run_flows(vid, use_flow=use_flow, ftype=ftype, **params)
+
+
+def precompute_flo_files(frames, out_tmpl, first=1, **params):
+    """Batch-produce Middlebury .flo files like tvl1flow.sh (bflow naming):
+    ``out_tmpl % (first + i + 1)`` holds flow(I_{i+1} -> I_i).
+
+    frames: (T, H, W) numpy array in [0, 255].
+    Returns list of written paths.
+    """
+    from ..io.flo import write_flo
+
+    frames = np.asarray(frames)
+    T, H, W = frames.shape
+    kw = dict(DENOISING_PARAMS)
+    kw.update(params)
+    solver = make_batched_tvl1(W, H, **kw)
+    flows = np.asarray(solver(jnp.asarray(frames[1:]), jnp.asarray(frames[:-1])))
+    paths = []
+    for i in range(T - 1):
+        path = out_tmpl % (first + i + 1)
+        write_flo(path, flows[i])
+        paths.append(path)
+    return paths

@@ -1,0 +1,79 @@
+"""Model registry and config-driven loading.
+
+Replacement for the reference dispatch (lib/frame2frame/__init__.py:19-39):
+``net_name`` selects dncnn or fastdvdnet; ``extract_model_config`` collects the
+arch/io pairs (lib/frame2frame/dncnn/io.py:68-80).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, extract_pairs, optional
+from .dncnn import DnCNN, init_dncnn, load_torch_checkpoint
+from .fastdvdnet import FastDVDnet, FastDVDnetVideo, init_fastdvdnet
+
+FASTDVD_NAMES = ("fastdvd", "fastdvdnet", "fdvdnet", "fdvd")
+
+
+def arch_pairs():
+    # reference dncnn/io.py:68-70 defaults
+    return {"channels": 3, "num_of_layers": 17, "residual": True, "seed": 0,
+            "model_dtype": "float32"}
+
+
+def io_pairs():
+    # reference dncnn/io.py:73-80
+    return {"pretrained_path": "", "pretrained_root": "", "pretrained_type": "",
+            "pretrained_load": False, "net_name": "dncnn"}
+
+
+def extract_model_config(cfg):
+    pairs = dict(arch_pairs())
+    pairs.update(io_pairs())
+    return extract_pairs(cfg, pairs)
+
+
+def load_model(cfg):
+    """Build (model, variables) from a config.
+
+    Returns a Config with fields: model (flax module), variables (params +
+    batch_stats), apply (convenience fn vid->deno in eval mode).
+    """
+    cfg = extract_model_config(cfg)
+    mtype = optional(cfg, "net_name", "dncnn")
+    dtype = jnp.dtype(cfg.model_dtype)
+    key = jax.random.PRNGKey(cfg.seed)
+    if mtype == "dncnn":
+        model, variables = init_dncnn(
+            key, channels=cfg.channels, num_layers=cfg.num_of_layers,
+            residual=cfg.residual, dtype=dtype,
+        )
+    elif mtype in FASTDVD_NAMES:
+        model, variables = init_fastdvdnet(key, channels=cfg.channels, dtype=dtype)
+    else:
+        raise ValueError(f"Unknown model type [{mtype}]")
+
+    if cfg.pretrained_load and cfg.pretrained_path:
+        variables = load_checkpoint(variables, cfg.pretrained_path,
+                                    num_layers=cfg.num_of_layers)
+
+    def apply(vid, train=False, **kw):
+        if train:
+            return model.apply(variables, vid, train=True,
+                               mutable=["batch_stats"], **kw)
+        return model.apply(variables, vid, train=False, **kw)
+
+    return Config(model=model, variables=variables, apply=apply, cfg=cfg)
+
+
+def load_checkpoint(variables, path, num_layers=17):
+    """Load pretrained weights: .pth (torch interop) or orbax/msgpack native."""
+    path = str(path)
+    if path.endswith((".pth", ".pt")):
+        new = load_torch_checkpoint(path, num_layers=num_layers)
+        return {**variables, **new}
+    from . import serialization
+
+    return serialization.load_variables(path, like=variables)

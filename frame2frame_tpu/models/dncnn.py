@@ -1,0 +1,137 @@
+"""DnCNN denoiser in flax (NHWC, TPU-native layout).
+
+Architecture per the reference (lib/frame2frame/dncnn/net.py:6-39 and the
+SaoYan/DnCNN-PyTorch submodule used by blind_denoising.py:25,144): Conv3x3(64,
+no bias) + ReLU, (L-2) x [Conv3x3(64, no bias) + BatchNorm + ReLU], Conv3x3(C,
+no bias).
+
+Two output conventions exist in the reference and both are supported:
+- ``residual=False``: returns the predicted **noise** (submodule convention; the
+  caller subtracts, blind_denoising.py:218);
+- ``residual=True``: returns the denoised image ``x - noise`` (harness
+  convention, dncnn/net.py:31).
+
+Video inputs (B, T, H, W, C) are flattened to (B*T, H, W, C) and restored,
+mirroring dncnn/net.py:25-36.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class DnCNN(nn.Module):
+    channels: int = 1
+    num_layers: int = 17
+    features: int = 64
+    residual: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        vid_shape = None
+        if x.ndim == 5:  # (B,T,H,W,C) -> (B*T,H,W,C)
+            vid_shape = x.shape
+            x = x.reshape((-1,) + x.shape[2:])
+
+        h = nn.Conv(
+            self.features, (3, 3), padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv_in",
+        )(x)
+        h = nn.relu(h)
+        for i in range(self.num_layers - 2):
+            h = nn.Conv(
+                self.features, (3, 3), padding="SAME", use_bias=False,
+                dtype=self.dtype, name=f"conv_{i}",
+            )(h)
+            # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (-> flax 0.9)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"bn_{i}",
+            )(h)
+            h = nn.relu(h)
+        noise = nn.Conv(
+            self.channels, (3, 3), padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv_out",
+        )(h)
+
+        out = x - noise if self.residual else noise
+        if vid_shape is not None:
+            out = out.reshape(vid_shape[:2] + out.shape[1:])
+        return out
+
+
+def init_dncnn(key, channels=1, num_layers=17, residual=False, dtype=jnp.float32,
+               spatial=(64, 64)):
+    """Initialize a DnCNN; returns (model, variables dict with params+batch_stats)."""
+    model = DnCNN(channels=channels, num_layers=num_layers, residual=residual,
+                  dtype=dtype)
+    x = jnp.zeros((1, spatial[0], spatial[1], channels), dtype)
+    variables = model.init(key, x, train=False)
+    return model, variables
+
+
+def import_torch_state_dict(state_dict, num_layers=17):
+    """Convert a torch DnCNN ``state_dict`` to flax variables.
+
+    Accepts the reference checkpoint layouts: keys like
+    ``module.dncnn.{idx}.weight`` (DataParallel wrap, blind_denoising.py:146) or
+    ``dncnn.{idx}.weight``; BatchNorm entries carry weight/bias/running_mean/
+    running_var. Torch conv weights are OIHW; flax expects HWIO.
+
+    Values may be torch tensors or numpy arrays.
+    """
+    import numpy as np
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        # copy: torch .numpy() shares memory with the live tensor, and the
+        # caller may keep training the torch model afterwards
+        return np.array(v)
+
+    # normalize keys: strip leading "module." and "dncnn."
+    flat = {}
+    for k, v in state_dict.items():
+        for prefix in ("module.", "net.", "dncnn."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        # after stripping, keys look like "{seq_idx}.weight" etc.
+        flat[k] = to_np(v)
+
+    # sequential indices: conv at 0; then blocks of (conv, bn, relu) at
+    # (2+3i, 3+3i); final conv at 2+3*(L-2)
+    def conv_hwio(w):
+        return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+    params = {"conv_in": {"kernel": conv_hwio(flat["0.weight"])}}
+    batch_stats = {}
+    L = num_layers
+    for i in range(L - 2):
+        ci = 2 + 3 * i
+        bi = ci + 1
+        params[f"conv_{i}"] = {"kernel": conv_hwio(flat[f"{ci}.weight"])}
+        params[f"bn_{i}"] = {
+            "scale": flat[f"{bi}.weight"],
+            "bias": flat[f"{bi}.bias"],
+        }
+        batch_stats[f"bn_{i}"] = {
+            "mean": flat[f"{bi}.running_mean"],
+            "var": flat[f"{bi}.running_var"],
+        }
+    params["conv_out"] = {"kernel": conv_hwio(flat[f"{2 + 3 * (L - 2)}.weight"])}
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_torch_checkpoint(path, num_layers=17):
+    """Load a torch ``.pth`` DnCNN checkpoint into flax variables (CPU torch)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and not any(hasattr(v, "shape") for v in obj.values()):
+        # maybe a wrapper dict with 'state_dict'
+        obj = obj.get("state_dict", obj)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return import_torch_state_dict(obj, num_layers=num_layers)

@@ -1,0 +1,2 @@
+from .mesh import make_mesh, replicated, shard_video, video_sharding
+from .shard import make_sharded_f2f_step, make_sharded_sup_step

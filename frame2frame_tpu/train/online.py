@@ -1,0 +1,248 @@
+"""Online per-frame fine-tuning ("frame2frame" blind denoising) — the reference
+CLI's hot loop (blind_denoising.py:187-256) as one jitted on-device program.
+
+TPU-native redesign of the reference pipeline:
+- the 20-iteration fine-tune loop (blind_denoising.py:216-222) is a ``lax.scan``
+  over Adam updates compiled once; warp + occlusion masking happen on device
+  (no scipy round-trip) and are hoisted out of the loop (the warped target and
+  mask depend only on prev/flow, which are loop-invariant — the reference
+  recomputed them every iteration);
+- Adam (lr=5e-5, betas=(0.9,0.999), eps=1e-8, L2 weight_decay=1e-5, i.e. torch
+  Adam semantics: decay added to the gradient before the moments) with state
+  persisting across all frames (blind_denoising.py:158-165);
+- BatchNorm runs in training mode inside the scan (running stats threaded
+  through the carry), matching model.train() at blind_denoising.py:212;
+- the final denoise runs in eval mode (blind_denoising.py:229-230);
+- frame/flow I/O is double-buffered against device compute by a host prefetch
+  thread (the "streaming pipeline" BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from ..ops.warp import bilinear_warp_with_mask, occlusion_mask
+
+
+def torch_adam(lr, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-8):
+    """optax chain replicating torch.optim.Adam with L2 weight_decay
+    (decay folded into the gradient before the moment updates)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale(-lr))
+    return optax.chain(*parts)
+
+
+def make_online_step(model, tx, iters=20, residual_model=False, unroll=None):
+    """Build the jitted per-frame program.
+
+    step(params, batch_stats, opt_state, cur, prev, flow) ->
+        (params, batch_stats, opt_state, deno, losses)
+
+    cur/prev: (H, W, C) in [0, 1]; flow: (H, W, 2) mapping cur -> prev coords.
+    ``residual_model`` says whether the model returns the denoised image
+    directly (harness convention) or the noise (submodule convention,
+    blind_denoising.py:218 subtracts).
+
+    ``unroll``: whether to fully unroll the fine-tune scan. Default: unroll on
+    CPU (XLA:CPU runs convolutions inside While bodies single-threaded, ~40x
+    slower than the unrolled form), keep the rolled scan on TPU (fast While,
+    much smaller compile).
+    """
+    if unroll is None:
+        unroll = jax.default_backend() == "cpu"
+
+    def denoise(variables, x, train):
+        out = model.apply(variables, x[None], train=train,
+                          mutable=["batch_stats"] if train else False)
+        if train:
+            y, updates = out
+            return (y[0] if residual_model else x - y[0]), updates["batch_stats"]
+        return out[0] if residual_model else x - out[0]
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, cur, prev, flow):
+        warped, mask = bilinear_warp_with_mask(prev, flow)
+        mask = occlusion_mask(flow, mask)
+        target = mask * warped
+
+        def body(carry, _):
+            params, batch_stats, opt_state = carry
+
+            def loss_fn(p):
+                deno, new_bs = denoise({"params": p, "batch_stats": batch_stats},
+                                       cur, train=True)
+                # summed L1 (nn.L1Loss(size_average=False), blind_denoising.py:47)
+                loss = jnp.sum(jnp.abs(mask * deno - target))
+                return loss, new_bs
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = lax.scan(
+            body, (params, batch_stats, opt_state), None, length=iters,
+            unroll=iters if unroll else 1,
+        )
+        deno = denoise({"params": params, "batch_stats": batch_stats}, cur,
+                       train=False)
+        return params, batch_stats, opt_state, deno, losses
+
+    return step
+
+
+class OnlineDenoiser:
+    """Stateful frame-by-frame denoiser: persistent params/optimizer across the
+    stream, one fused device program per frame."""
+
+    def __init__(self, model, variables, lr=5e-5, weight_decay=1e-5, iters=20,
+                 residual_model=False):
+        self.model = model
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.tx = torch_adam(lr, weight_decay)
+        self.opt_state = self.tx.init(self.params)
+        self.iters = iters
+        self._step = make_online_step(model, self.tx, iters=iters,
+                                      residual_model=residual_model)
+
+    def process_frame(self, cur, prev, flow):
+        """Fine-tune on (cur, prev, flow) and return (deno, losses)."""
+        cur = jnp.asarray(cur)
+        prev = jnp.asarray(prev)
+        flow = jnp.asarray(flow)
+        (self.params, self.batch_stats, self.opt_state, deno, losses) = self._step(
+            self.params, self.batch_stats, self.opt_state, cur, prev, flow
+        )
+        return deno, losses
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def run_blind_denoising(
+    model,
+    variables,
+    input_tmpl,
+    flow_tmpl=None,
+    ref_tmpl=None,
+    output_tmpl=None,
+    output_psnr=None,
+    output_network=None,
+    first=1,
+    last=300,
+    iters=20,
+    lr=5e-5,
+    weight_decay=1e-5,
+    residual_model=False,
+    compute_flow=False,
+    flow_params=None,
+    progress=False,
+):
+    """Streaming blind denoising over a frame sequence — the full reference CLI
+    semantics (blind_denoising.py:125-259) with prefetch double-buffering.
+
+    When ``compute_flow`` is True (or no ``flow_tmpl`` given), TV-L1 flow is
+    solved on-device in-pipeline instead of reading .flo files — the
+    "flow moves in-pipeline" capability of BASELINE.json's north star.
+
+    Returns a dict with per-frame psnrs and losses.
+    """
+    from ..io.flo import read_flo
+    from ..io.image import is_tiff, read_frame, write_gray
+    from ..utils.metrics import psnr as psnr_fn
+
+    deno_engine = OnlineDenoiser(model, variables, lr=lr,
+                                 weight_decay=weight_decay, iters=iters,
+                                 residual_model=residual_model)
+
+    tvl1_solver = None
+    if compute_flow or flow_tmpl is None:
+        from ..flow.tvl1 import DENOISING_PARAMS, make_tvl1_solver
+
+        probe = read_frame(input_tmpl, first)
+        H, W = probe.shape[:2]
+        kw = dict(DENOISING_PARAMS)
+        kw.update(flow_params or {})
+        tvl1_solver = make_tvl1_solver(W, H, **kw)
+
+    def load_inputs(i, need_flow=True):
+        """Host-side read of frame i (+ flow i if precomputed).
+
+        Flows exist only for frames first+1..last (blind_denoising.py:206);
+        the first frame is loaded without one.
+        """
+        frame = read_frame(input_tmpl, i)  # [0,255] float (raw for tiff)
+        arr = np.asarray(frame, dtype=np.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        # the reference normalizes every unbatched frame by 255, tiff included
+        # (blind_denoising.py:177-180,198-201)
+        arr = arr / 255.0
+        flow = None
+        if need_flow and tvl1_solver is None:
+            flow = read_flo(flow_tmpl % i).astype(np.float32)
+        return arr, flow
+
+    results = {"psnr": [], "loss": [], "frames": []}
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    prev, _ = load_inputs(first, need_flow=False)
+    prev_dev = jnp.asarray(prev)
+    fut = pool.submit(load_inputs, first + 1)
+
+    psnr_lines = []
+    for i in range(first + 1, last + 1):
+        cur, flow = fut.result()
+        if i < last:  # prefetch next frame while this one computes
+            fut = pool.submit(load_inputs, i + 1)
+        cur_dev = jnp.asarray(cur)
+        if flow is None:
+            # on-device flow cur -> prev (bflow of frame i, tvl1flow.sh naming)
+            flow_dev = tvl1_solver(cur_dev[..., 0] * 255.0, prev_dev[..., 0] * 255.0)
+        else:
+            flow_dev = jnp.asarray(flow)
+
+        deno, losses = deno_engine.process_frame(cur_dev, prev_dev, flow_dev)
+        deno_np = np.asarray(deno)
+        results["loss"].append(np.asarray(losses))
+        results["frames"].append(i)
+
+        if output_tmpl:
+            out_path = output_tmpl % i
+            if is_tiff(out_path):
+                write_gray(out_path, 255.0 * deno_np.squeeze())
+            else:
+                write_gray(out_path, 255.0 * np.clip(deno_np.squeeze(), 0.0, 1.0))
+
+        if ref_tmpl:
+            ref = np.asarray(read_frame(ref_tmpl, i), dtype=np.float64) / 255.0
+            quant = psnr_fn(ref, deno_np)
+            results["psnr"].append(quant)
+            psnr_lines.append(str(quant) + "\n")
+            if progress:
+                print(i, quant)
+
+        prev_dev = cur_dev  # next frame trains against current *noisy* frame
+
+    pool.shutdown(wait=False)
+
+    if output_psnr and psnr_lines:
+        with open(output_psnr, "w") as f:
+            f.writelines(psnr_lines)
+    if output_network:
+        from ..models.serialization import save_train_state
+
+        save_train_state(output_network, deno_engine.params,
+                         deno_engine.opt_state, deno_engine.batch_stats)
+    return results
