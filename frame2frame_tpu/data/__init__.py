@@ -1,0 +1,16 @@
+from . import noise
+from .crop import run_rand_crop
+from .datasets import VideoDataset, filter_subseq, load, slice_sample, synthetic_video
+from .noise import (
+    GaussianNoise,
+    MultiScaleGaussianNoise,
+    PoissonGaussianNoise,
+    add_jpeg_artifacts,
+    choose_noise_transform,
+)
+
+
+class sets:
+    """data_hub-style namespace: ``sets.load(cfg)`` (reference test.py:127)."""
+
+    load = staticmethod(load)

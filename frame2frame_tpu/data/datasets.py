@@ -1,0 +1,181 @@
+"""Video dataset registry.
+
+Replacement for the reference's external ``data_hub.sets.load`` +
+``filter_subseq`` (test.py:127-130): named datasets of video sequences with
+frame-subrange selection, noise synthesis, and optional precomputed flows.
+
+Two built-in families:
+- ``dir``: directory-backed datasets (derf-hd/set8/davis-style layout:
+  ``root/<vid_name>/<frame>.png``);
+- ``synthetic``: seeded on-the-fly moving-texture sequences (used by the test
+  suite and benchmarks; no external data required).
+
+Samples are Config dicts with the harness's field names: noisy, clean, fnums,
+index, region (lightning.py:290-301, test.py:143-147). Videos are (T, H, W, C)
+float32 in [0, 255].
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..config import Config, optional
+from .noise import choose_noise_transform
+
+
+def synthetic_video(seed, nframes=10, h=128, w=128, channels=1, shift=(1, 1)):
+    """Seeded moving smooth texture, (T, H, W, C) float32 in [0, 255]."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    dy, dx = shift
+    pad = max(abs(dy), abs(dx)) * nframes + 4
+    base = gaussian_filter(rng.random((h + 2 * pad, w + 2 * pad)) * 255, 3.0)
+    base = 255 * (base - base.min()) / (base.max() - base.min())
+    frames = []
+    for t in range(nframes):
+        y0 = pad + dy * t
+        x0 = pad + dx * t
+        f = base[y0 : y0 + h, x0 : x0 + w].astype(np.float32)
+        frames.append(np.repeat(f[..., None], channels, axis=-1))
+    return np.stack(frames)
+
+
+class VideoDataset:
+    """A split: list of samples, each a full video (noise added lazily, seeded)."""
+
+    def __init__(self, videos, names, cfg, split_seed=0):
+        self._videos = videos  # list of callables () -> (T,H,W,C) clean
+        self.names = names
+        self.cfg = cfg
+        self.noise = choose_noise_transform(cfg)
+        self.split_seed = split_seed
+        self.groups = names  # data_hub-compatible alias
+
+    def __len__(self):
+        return len(self._videos)
+
+    def __getitem__(self, index):
+        clean = np.asarray(self._videos[index](), dtype=np.float32)
+        key = jax.random.PRNGKey(self.split_seed * 7919 + index)
+        out = self.noise(key, clean)
+        sigma = getattr(self.noise, "sigma", 0.0)
+        if isinstance(out, tuple):
+            noisy, sigma = out
+        else:
+            noisy = out
+        T = clean.shape[0]
+        return Config(
+            noisy=np.asarray(noisy, np.float32),
+            clean=clean,
+            fnums=np.arange(T),
+            index=index,
+            region=None,
+            sigma=sigma,
+            vid_name=self.names[index],
+        )
+
+
+def _load_dir_split(root, cfg, split_seed):
+    from ..io.video import load_video_dir
+
+    root = Path(root)
+    vids = sorted(p for p in root.iterdir() if p.is_dir())
+    names = [p.name for p in vids]
+
+    def make_loader(p):
+        def load():
+            v = load_video_dir(p)
+            if v.ndim == 3:
+                v = v[..., None]
+            return v
+
+        return load
+
+    return VideoDataset([make_loader(p) for p in vids], names, cfg, split_seed)
+
+
+def _load_synthetic_split(cfg, split_seed):
+    n = optional(cfg, "nvideos", 3)
+    nframes = optional(cfg, "nframes_data", 10)
+    h, w = optional(cfg, "isize_data", (128, 128))
+    channels = optional(cfg, "channels", 1)
+    names = [f"vid{i:02d}" for i in range(n)]
+    makers = [
+        (lambda s: (lambda: synthetic_video(s, nframes, h, w, channels)))(
+            1000 * split_seed + i
+        )
+        for i in range(n)
+    ]
+    return VideoDataset(makers, names, cfg, split_seed)
+
+
+def load(cfg):
+    """Load a dataset by cfg.dname -> (data, loaders).
+
+    data: Config(tr=..., val=..., te=...) of VideoDataset splits.
+    loaders: simple iteration helpers (batch-of-one), mirroring data_hub's
+    return convention (test.py:127).
+    """
+    dname = optional(cfg, "dname", "synthetic")
+    if dname in ("synthetic", "toy"):
+        data = Config(
+            tr=_load_synthetic_split(cfg, 0),
+            val=_load_synthetic_split(cfg, 1),
+            te=_load_synthetic_split(cfg, 2),
+        )
+    else:  # directory-backed (derf-hd / set8 / davis style)
+        root = Path(optional(cfg, "data_root", "./data")) / dname
+        if not root.exists():
+            raise FileNotFoundError(
+                f"dataset root {root} not found (dname={dname}); use dname="
+                f"'synthetic' or provide data_root/<dname>/<vid>/frames"
+            )
+        data = Config(
+            tr=_load_dir_split(root, cfg, 0),
+            val=_load_dir_split(root, cfg, 1),
+            te=_load_dir_split(root, cfg, 2),
+        )
+    loaders = Config({k: _SimpleLoader(v) for k, v in data.items()})
+    return data, loaders
+
+
+class _SimpleLoader:
+    def __init__(self, dset):
+        self.dset = dset
+
+    def __iter__(self):
+        for i in range(len(self.dset)):
+            s = self.dset[i]
+            yield Config({k: (v[None] if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 3 else v)
+                          for k, v in s.items()})
+
+    def __len__(self):
+        return len(self.dset)
+
+
+def filter_subseq(dset, vid_name, frame_start, frame_end):
+    """Indices of dataset samples matching ``vid_name`` restricted to the frame
+    range — equivalent of ``data_hub.filter_subseq`` (test.py:128-129).
+
+    Mutates nothing; returns indices whose sample will be sliced by the caller
+    via ``slice_sample``.
+    """
+    idx = [i for i, n in enumerate(dset.names) if n == vid_name or vid_name in n]
+    dset._subseq = (frame_start, frame_end)
+    return idx
+
+
+def slice_sample(sample, frame_start=0, frame_end=-1):
+    """Restrict a sample's videos to [frame_start, frame_end] inclusive."""
+    if frame_end < 0:
+        return sample
+    sl = slice(frame_start, frame_end + 1)
+    out = Config(sample)
+    for k in ("noisy", "clean"):
+        out[k] = sample[k][sl]
+    out.fnums = sample.fnums[sl]
+    return out

@@ -1,0 +1,221 @@
+"""Offline training module — the TPU counterpart of the reference's
+PyTorch-Lightning ``LitModel`` (lib/frame2frame/lightning.py:111-551).
+
+Same config surface (``lit_pairs``, lightning.py:77-95) and the same
+``crit_name`` loss dispatch (lightning.py:330-371), but structured as a pure
+``training_step(state, batch, ...) -> (state, metrics)`` built from
+jax.value_and_grad — no mutable module, no callback machinery; BatchNorm stats
+thread through the step explicitly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, extract_pairs, optional
+from ..data.noise import choose_noise_transform
+from ..flow import api as flow_api
+from ..losses.basic import sup_loss
+from ..losses.b2u import B2ULoss
+from ..losses.combo import ComboLoss
+from ..losses.nb2nb import Nb2NbLoss
+from ..losses.stnls import DnlsLoss
+from ..losses.warped import WarpedLoss
+from ..utils.metrics import compute_psnrs
+from .state import TrainState, apply_gradients, make_train_apply
+
+
+def lit_pairs():
+    """Config keys + defaults, mirroring lightning.py:77-95."""
+    return {
+        "batch_size": 1, "flow": True, "flow_method": "tvl1",
+        "isize": None, "bw": False, "lr_init": 1e-3,
+        "lr_final": 1e-8, "weight_decay": 0.0,
+        "nsteps": 0, "nepochs": 0, "task": "denoising", "uuid": "",
+        "scheduler_name": "default", "step_lr_size": 5,
+        "step_lr_gamma": 0.1, "flow_epoch": None, "flow_from_end": None,
+        "ws": 9, "wt": 3, "ps": 7, "ps_dists": 7, "k": 5, "stride0": 4,
+        "dist_crit": "l2", "search_input": "deno", "alpha": 0.5,
+        "crit_name": "warped", "read_flows": False,
+        "ntype": "g", "rate": -1, "sigma": -1, "sigma_min": -1, "sigma_max": -1,
+        "nb2nb_epoch_ratio": 2.0, "nb2nb_lambda1": 1.0, "nb2nb_lambda2": 1.0,
+        "stnls_k_decay": -1, "stnls_ps_dist_sched": "None",
+        "stnls_ws_sched": "None", "stnls_center_crop": 0.0,
+        "optim_name": "adam", "sgd_momentum": 0.1, "sgd_dampening": 0.1,
+        "coswr_T0": -1, "coswr_Tmult": 1, "coswr_eta_min": 1e-9,
+        "step_lr_multisteps": "30-50", "combo_swap_epochs": 50,
+        "stnls_nb2nb_alpha": 0.0, "stnls_normalize_bwd": False, "dd_in": 3,
+        "dist_mask": -1, "limit_train_batches": -1,
+    }
+
+
+def sim_pairs():
+    return {"sim_type": "g", "sim_module": "stardeno",
+            "sim_device": "tpu", "load_fxn": "load_sim"}
+
+
+def init_cfg(cfg):
+    return Config(lit=extract_pairs(cfg, lit_pairs()),
+                  sim=extract_pairs(cfg, sim_pairs()))
+
+
+class TrainModule:
+    """Loss construction + step functions. State lives outside (TrainState)."""
+
+    def __init__(self, cfg, model, residual=True, sim_model=None):
+        self.cfg = init_cfg(cfg).lit
+        c = self.cfg
+        self.model = model
+        self.residual = residual
+        self.sim_model = sim_model
+        self.noise_sim = choose_noise_transform(c)
+        self.crit = self.init_crit()
+        self.dd_in = c.dd_in
+
+    # -- loss construction (lightning.py:373-422) --
+
+    def init_crit(self):
+        c = self.cfg
+        name = c.crit_name
+        if name == "warped":
+            return WarpedLoss(c.dist_crit, wt=min(c.wt, 1))
+        if name == "stnls":
+            return DnlsLoss(c.ws, c.wt, c.ps, c.ps_dists, c.k, c.stride0,
+                            c.dist_crit, c.search_input, c.alpha, c.nepochs,
+                            c.stnls_k_decay, c.stnls_ps_dist_sched,
+                            c.stnls_ws_sched, 1.0, c.dist_mask,
+                            c.stnls_center_crop, nmz_bwd=c.stnls_normalize_bwd)
+        if name == "nb2nb":
+            return Nb2NbLoss(c.nb2nb_lambda1, c.nb2nb_lambda2,
+                             max(c.nepochs, 1), c.nb2nb_epoch_ratio)
+        if name == "b2u":
+            ninfo = "%s_%d_%d" % (c.ntype, c.sigma, c.rate)
+            return B2ULoss(c.nb2nb_lambda1, c.nb2nb_lambda2,
+                           max(c.nepochs, 1), c.nb2nb_epoch_ratio, ninfo)
+        if name in ("stnls_nb2nb", "nb2nb_stnls"):
+            loss0 = Nb2NbLoss(c.nb2nb_lambda1, c.nb2nb_lambda2,
+                              max(c.nepochs, 1), c.nb2nb_epoch_ratio)
+            loss1 = DnlsLoss(c.ws, c.wt, c.ps, c.ps_dists, c.k, c.stride0,
+                             c.dist_crit, c.search_input, c.alpha, c.nepochs,
+                             c.stnls_k_decay, c.stnls_ps_dist_sched,
+                             c.stnls_ws_sched, 1.0, c.dist_mask,
+                             c.stnls_center_crop, c.sigma,
+                             nmz_bwd=c.stnls_normalize_bwd)
+            if name == "stnls_nb2nb":
+                return ComboLoss(loss0, loss1, swap=c.combo_swap_epochs,
+                                 alpha=c.stnls_nb2nb_alpha)
+            return Config(nb2nb=loss0, stnls=loss1, name="nb2nb_stnls")
+        if name in ("sup", "sup_fdvd", "n2n"):
+            return None  # handled inline
+        raise ValueError(f"Unknown loss name [{name}]")
+
+    # -- channel handling (lightning.py:129-141) --
+
+    def ensure_chnls(self, noisy, sigma):
+        if noisy.shape[-1] == self.dd_in:
+            return noisy
+        if noisy.shape[-1] == 4 and self.dd_in == 3:
+            return noisy[..., :3]
+        if self.dd_in == noisy.shape[-1] + 1:
+            B, T, H, W, _ = noisy.shape
+            sig = jnp.broadcast_to(
+                jnp.asarray(sigma, noisy.dtype).reshape(-1, 1, 1, 1, 1) / 255.0,
+                (B, T, H, W, 1),
+            )
+            return jnp.concatenate([noisy, sig], axis=-1)
+        return noisy
+
+    # -- loss dispatch (lightning.py:330-371) --
+
+    def compute_loss(self, apply_fn, clean, noisy, flows, epoch, step, key):
+        c = self.cfg
+        name = c.crit_name
+        B, T = noisy.shape[:2]
+
+        def fwd(v):
+            out = apply_fn(v.reshape((B * T,) + v.shape[2:]))
+            return out.reshape(v.shape[:2] + out.shape[1:])
+
+        if name == "warped":
+            deno = fwd(noisy)
+            return deno, self.crit.run_pairs(deno, noisy, flows, step)
+        if name == "stnls":
+            deno = fwd(noisy)
+            return deno, self.crit(noisy, clean, deno, flows, step, key)
+        if name == "nb2nb":
+            return self.crit.compute(apply_fn, noisy, epoch, key)
+        if name == "b2u":
+            return self.crit.compute(apply_fn, noisy, epoch)
+        if name == "nb2nb_stnls":
+            deno0 = fwd(noisy)
+            loss0 = self.crit.stnls(noisy, clean, deno0, flows, epoch, key)
+            deno1, loss1 = self.crit.nb2nb.compute(apply_fn, noisy, epoch, key)
+            return 0.5 * (deno0 + deno1), 0.5 * (loss0 + loss1)
+        if name == "stnls_nb2nb":
+            return self.crit(apply_fn, noisy, flows, epoch, key, clean)
+        if name == "sup":
+            deno = fwd(noisy)
+            return deno, jnp.mean((deno - clean) ** 2)
+        if name == "sup_fdvd":
+            deno = fwd(noisy)
+            return deno, jnp.mean((deno - clean[:, T // 2]) ** 2)
+        if name == "n2n":
+            deno = fwd(noisy)
+            noisy2 = self.noise_sim(key, clean * 255.0) / 255.0
+            return deno, sup_loss(noisy2, deno, c.dist_crit)
+        raise ValueError(f"Unknown loss name [{name}]")
+
+    # -- training step --
+
+    def training_step(self, state: TrainState, batch, epoch, key):
+        """One optimizer step. batch: Config(noisy, clean[, fflow, bflow,
+        sigma]) with videos (B, T, H, W, C) in [0, 255]."""
+        c = self.cfg
+        noisy = jnp.asarray(batch["noisy"], jnp.float32) / 255.0
+        clean = jnp.asarray(batch["clean"], jnp.float32) / 255.0
+        noisy = self.ensure_chnls(noisy, batch.get("sigma", 0.0))
+        noisy = noisy[..., : self.dd_in]
+
+        if c.read_flows and "fflow" in batch:
+            flows = Config(fflow=jnp.asarray(batch["fflow"]),
+                           bflow=jnp.asarray(batch["bflow"]))
+        else:
+            flows = flow_api.run_flows(jax.lax.stop_gradient(noisy), c.flow,
+                                       ftype=c.flow_method)
+
+        def loss_fn(params):
+            captured = {}
+            apply_fn = make_train_apply(state, params, captured)
+            deno, loss = self.compute_loss(apply_fn, clean, noisy, flows,
+                                           epoch, state.step, key)
+            return loss, (jax.lax.stop_gradient(deno),
+                          captured.get("batch_stats", state.batch_stats))
+
+        (loss, (deno, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = apply_gradients(state, grads, new_bs)
+
+        psnr = float(jnp.mean(jnp.asarray(
+            compute_psnrs(jax.device_get(deno), jax.device_get(clean), div=1.0))))
+        return state, Config(train_loss=float(loss), train_psnr=psnr,
+                             global_step=state.step)
+
+    # -- eval steps (lightning.py:440-519) --
+
+    def eval_step(self, state: TrainState, batch, prefix="val"):
+        noisy = jnp.asarray(batch["noisy"], jnp.float32) / 255.0
+        clean = jnp.asarray(batch["clean"], jnp.float32) / 255.0
+        noisy = self.ensure_chnls(noisy, batch.get("sigma", 0.0))
+        B, T = noisy.shape[:2]
+        deno = state.eval_apply(noisy.reshape((B * T,) + noisy.shape[2:]))
+        deno = deno.reshape(clean.shape)
+        from ..utils.metrics import compute_ssims
+
+        loss = float(jnp.mean((clean - deno) ** 2))
+        d, cl = jax.device_get(deno), jax.device_get(clean)
+        psnr = float(jnp.mean(jnp.asarray(compute_psnrs(d, cl, div=1.0))))
+        ssim = float(jnp.mean(jnp.asarray(compute_ssims(d, cl, div=1.0))))
+        return Config({f"{prefix}_loss": loss, f"{prefix}_psnr": psnr,
+                       f"{prefix}_ssim": ssim,
+                       f"{prefix}_index": batch.get("index", -1)})

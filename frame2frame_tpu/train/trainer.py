@@ -1,0 +1,90 @@
+"""Offline training loop — replacement for the external ``dev_basics.trte.
+train.run`` + PyTorch-Lightning Trainer the reference launchers depend on
+(scripts/trte_dncnn/train.py:20,39-45), with MetricsCallback-style accumulation
+(lightning.py:554-601) and checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..config import Config, optional
+from ..data import sets
+from ..models import load_model
+from ..models.serialization import save_variables
+from .lit import TrainModule
+from .schedules import make_optimizer
+from .state import TrainState
+
+
+class MetricsAccumulator:
+    """Accumulates per-step/per-epoch metric dicts (MetricsCallback equivalent,
+    lightning.py:554-601)."""
+
+    def __init__(self):
+        self.metrics = {}
+
+    def append(self, m):
+        for k, v in m.items():
+            self.metrics.setdefault(k, []).append(v)
+
+    def summary(self):
+        return {k: (float(np.mean(v)) if np.ndim(v[0]) == 0 else v)
+                for k, v in self.metrics.items()}
+
+
+def run(cfg):
+    """Train a model per config; returns a results Config.
+
+    Config keys: model (net_name/channels/...), data (dname/...), lit
+    (crit_name/nepochs/lr_init/...), plus: checkpoint_dir, seed,
+    limit_train_batches.
+    """
+    cfg = Config(cfg)
+    seed = optional(cfg, "seed", 123)
+    key = jax.random.PRNGKey(seed)
+
+    ms = load_model(cfg)
+    module = TrainModule(cfg, ms.model, residual=optional(cfg, "residual", True))
+    nepochs = max(optional(cfg, "nepochs", 1), 1)
+
+    data, loaders = sets.load(cfg)
+    spe = max(len(data.tr), 1)
+    tx, sched = make_optimizer(module.cfg, steps_per_epoch=spe)
+    state = TrainState.create(ms.model, ms.variables, tx,
+                              residual=optional(cfg, "residual", True))
+
+    ckpt_dir = Path(optional(cfg, "checkpoint_dir", "./output/checkpoints"))
+    uuid = optional(cfg, "uuid", "default")
+    limit = optional(cfg, "limit_train_batches", -1)
+
+    acc = MetricsAccumulator()
+    for epoch in range(nepochs):
+        for i, batch in enumerate(loaders.tr):
+            if limit > 0 and i >= limit:
+                break
+            key, sub = jax.random.split(key)
+            state, metrics = module.training_step(state, batch, epoch, sub)
+            metrics["lr"] = float(sched(state.step - 1))
+            metrics["epoch"] = epoch
+            acc.append(metrics)
+
+        # validation at epoch end (lightning val loop analogue)
+        val = MetricsAccumulator()
+        for batch in loaders.val:
+            val.append(module.eval_step(state, batch, prefix="val"))
+        acc.append(val.summary())
+
+        save_variables(ckpt_dir / f"{uuid}-epoch{epoch:03d}.msgpack",
+                       {"params": state.params, "batch_stats": state.batch_stats})
+
+    save_variables(ckpt_dir / f"{uuid}-final.msgpack",
+                   {"params": state.params, "batch_stats": state.batch_stats})
+
+    out = Config(acc.summary())
+    out.state = state
+    out.checkpoint = str(ckpt_dir / f"{uuid}-final.msgpack")
+    return out

@@ -1,0 +1,241 @@
+"""Harness-layer tests: schedulers, optimizer factory, chunked inference, x8
+augmentation, noise transforms, dataset registry, experiment cache, TrainModule
+loss dispatch, offline trainer smoke, and adaptation wrappers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frame2frame_tpu.config import Config
+
+
+# ---------------------------------------------------------------- schedules --
+
+
+def test_exp_decay_schedule():
+    from frame2frame_tpu.train.schedules import make_schedule
+
+    cfg = Config(scheduler_name="exp_decay", lr_init=1e-3, lr_final=1e-6,
+                 nepochs=10)
+    sched = make_schedule(cfg, steps_per_epoch=5)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(10 * 5)) == pytest.approx(1e-6, rel=1e-3)
+
+
+def test_cosa_schedule():
+    from frame2frame_tpu.train.schedules import make_schedule
+
+    cfg = Config(scheduler_name="cosa", lr_init=1e-3, nepochs=4)
+    sched = make_schedule(cfg, steps_per_epoch=2)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(8)) < 1e-6
+
+
+def test_multi_step_schedule():
+    from frame2frame_tpu.train.schedules import make_schedule
+
+    cfg = Config(scheduler_name="multi_step", lr_init=1.0,
+                 step_lr_multisteps="2-4", step_lr_gamma=0.1, nepochs=6)
+    sched = make_schedule(cfg, steps_per_epoch=1)
+    assert float(sched(1)) == pytest.approx(1.0)
+    assert float(sched(3)) == pytest.approx(0.1)
+    assert float(sched(5)) == pytest.approx(0.01)
+
+
+# ------------------------------------------------------------------- chunks --
+
+
+def test_chunked_identity_matches():
+    from frame2frame_tpu.eval.chunks import chunk
+
+    cfg = Config(spatial_chunk_size=8, spatial_chunk_overlap=0.25,
+                 temporal_chunk_size=2)
+    fwd = chunk(cfg, lambda v, fl=None: v * 2.0)
+    vid = jnp.asarray(np.random.default_rng(0).random((1, 4, 20, 20, 1)),
+                      jnp.float32)
+    out = fwd(vid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vid) * 2.0,
+                               rtol=1e-6)
+
+
+def test_chunk_passthrough_when_disabled():
+    from frame2frame_tpu.eval.chunks import chunk
+
+    f = lambda v, fl=None: v
+    assert chunk(Config(), f) is f
+
+
+# ---------------------------------------------------------------------- aug --
+
+
+def test_x8_identity():
+    from frame2frame_tpu.eval.aug import test_x8
+
+    vid = jnp.asarray(np.random.default_rng(1).random((1, 2, 8, 8, 1)),
+                      jnp.float32)
+    out = test_x8(lambda v, fl=None: v, vid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vid), atol=1e-6)
+
+
+def test_x8_rectangular():
+    from frame2frame_tpu.eval.aug import test_x8
+
+    vid = jnp.asarray(np.random.default_rng(2).random((1, 2, 6, 10, 1)),
+                      jnp.float32)
+    out = test_x8(lambda v, fl=None: v * 3.0, vid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vid) * 3.0,
+                               atol=1e-5)
+
+
+# -------------------------------------------------------------------- noise --
+
+
+def test_gaussian_noise_stats():
+    from frame2frame_tpu.data.noise import choose_noise_transform
+
+    tr = choose_noise_transform(Config(ntype="g", sigma=25))
+    clean = jnp.full((2, 4, 32, 32, 1), 128.0)
+    noisy = tr(jax.random.PRNGKey(0), clean)
+    resid = np.asarray(noisy - clean)
+    assert abs(resid.std() - 25) < 1.0
+    assert abs(resid.mean()) < 1.0
+
+
+def test_msg_noise_sigma_range():
+    from frame2frame_tpu.data.noise import choose_noise_transform
+
+    tr = choose_noise_transform(Config(ntype="msg", sigma_min=10, sigma_max=20))
+    clean = jnp.zeros((4, 2, 32, 32, 1))
+    noisy, sigma = tr(jax.random.PRNGKey(1), clean, return_sigma=True)
+    s = np.asarray(sigma)
+    assert ((s >= 10) & (s <= 20)).all()
+    stds = np.asarray(noisy).std(axis=(1, 2, 3, 4))
+    np.testing.assert_allclose(stds, s, rtol=0.1)
+
+
+def test_pg_noise_runs():
+    from frame2frame_tpu.data.noise import choose_noise_transform
+
+    tr = choose_noise_transform(Config(ntype="pg", rate=10, sigma=2))
+    clean = jnp.full((1, 1, 16, 16, 1), 100.0)
+    noisy = tr(jax.random.PRNGKey(2), clean)
+    assert np.isfinite(np.asarray(noisy)).all()
+
+
+# --------------------------------------------------------------------- data --
+
+
+def test_synthetic_dataset():
+    from frame2frame_tpu.data import filter_subseq, sets
+
+    cfg = Config(dname="synthetic", nvideos=2, nframes_data=4,
+                 isize_data=(32, 32), ntype="g", sigma=25)
+    data, loaders = sets.load(cfg)
+    assert len(data.tr) == 2
+    s = data.tr[0]
+    assert s.noisy.shape == (4, 32, 32, 1)
+    assert s.clean.shape == (4, 32, 32, 1)
+    # determinism
+    s2 = data.tr[0]
+    np.testing.assert_array_equal(s.noisy, s2.noisy)
+    idx = filter_subseq(data.tr, "vid01", 0, 2)
+    assert idx == [1]
+
+
+# -------------------------------------------------------------------- cache --
+
+
+def test_cache_skip_done(tmp_path):
+    from frame2frame_tpu import cache
+
+    calls = []
+
+    def run_fn(cfg):
+        calls.append(cfg.x)
+        return {"y": cfg.x * 2}
+
+    exps = cache.load_edata({"base_k": 1}, {"x": [1, 2]})
+    assert len(exps) == 2
+    recs = cache.run_exps(exps, run_fn, cache_dir=tmp_path, verbose=False)
+    assert calls == [1, 2]
+    assert recs[0]["results"]["y"] == 2
+    # second run: all cached
+    recs2 = cache.run_exps(exps, run_fn, cache_dir=tmp_path, verbose=False)
+    assert calls == [1, 2]
+    assert recs2[1]["results"]["y"] == 4
+
+
+# ---------------------------------------------------------------- TrainModule --
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from frame2frame_tpu.models.dncnn import init_dncnn
+
+    return init_dncnn(jax.random.PRNGKey(0), channels=1, num_layers=4,
+                      residual=True, spatial=(16, 16))
+
+
+@pytest.mark.parametrize("crit_name", ["sup", "n2n", "warped", "nb2nb", "b2u"])
+def test_training_step_crits(tiny_model, crit_name):
+    from frame2frame_tpu.train.lit import TrainModule
+    from frame2frame_tpu.train.schedules import make_optimizer
+    from frame2frame_tpu.train.state import TrainState
+
+    model, variables = tiny_model
+    cfg = Config(crit_name=crit_name, nepochs=2, lr_init=1e-3, ntype="g",
+                 sigma=25, flow=False, wt=1, rate=-1)
+    module = TrainModule(cfg, model, residual=True)
+    tx, _ = make_optimizer(module.cfg)
+    state = TrainState.create(model, variables, tx, residual=True)
+
+    rng = np.random.default_rng(0)
+    clean = rng.random((1, 3, 16, 16, 1)).astype(np.float32) * 255
+    batch = Config(noisy=clean + rng.normal(0, 25, clean.shape), clean=clean)
+    state2, metrics = module.training_step(state, batch, epoch=0,
+                                           key=jax.random.PRNGKey(1))
+    assert np.isfinite(metrics.train_loss)
+    assert state2.step == 1
+    # params actually changed
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.params, state2.params)
+    assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_trainer_sup_learns(tmp_path):
+    """2-epoch supervised training on tiny synthetic data reduces val loss."""
+    from frame2frame_tpu.train import trainer
+
+    cfg = Config(
+        net_name="dncnn", channels=1, num_of_layers=4, seed=0,
+        dname="synthetic", nvideos=2, nframes_data=3, isize_data=(32, 32),
+        ntype="g", sigma=25, crit_name="sup", nepochs=2, lr_init=1e-3,
+        scheduler_name="cosa", flow=False, checkpoint_dir=str(tmp_path),
+    )
+    out = trainer.run(cfg)
+    assert "val_psnr" in out
+    assert np.isfinite(out["train_loss"])
+    import os
+
+    assert any(f.endswith("final.msgpack") for f in os.listdir(tmp_path))
+
+
+def test_adapt_wrapper(tiny_model):
+    from frame2frame_tpu import get_loss_fxn
+    from frame2frame_tpu.train.schedules import make_optimizer
+    from frame2frame_tpu.train.state import TrainState
+
+    model, variables = tiny_model
+    cfg = Config(loss_type="f2f", adapt_isize="16_16", adapt_nepochs=1,
+                 nbatch_sample=1, flow=False)
+    loss_fxn = get_loss_fxn(cfg, "f2f")
+    tx, _ = make_optimizer(Config(scheduler_name="none", lr_init=1e-4,
+                                  nepochs=1))
+    state = TrainState.create(model, variables, tx, residual=True)
+    rng = np.random.default_rng(3)
+    noisy = rng.random((1, 6, 24, 24, 1)).astype(np.float32)
+    state2, info = loss_fxn(state, noisy, noisy.copy())
+    assert len(info.loss) == 2  # (T - nf + 1) = 2 windows x 1 epoch
+    assert all(np.isfinite(v) for v in info.loss)

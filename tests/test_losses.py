@@ -1,0 +1,152 @@
+"""Loss-family tests: Nb2Nb subimage selection vs a torch oracle, B2U masker
+reconstruction, warped run_pairs, sup/n2n, combo switching, and closed-form
+checks on tiny inputs (SURVEY.md §4 oracle (d))."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frame2frame_tpu.config import Config
+from frame2frame_tpu.losses.b2u import B2ULoss, Masker, _fixed_masks, interpolate_mask
+from frame2frame_tpu.losses.basic import sup_loss
+from frame2frame_tpu.losses.combo import ComboLoss
+from frame2frame_tpu.losses.nb2nb import (
+    Nb2NbLoss,
+    generate_mask_pair,
+    generate_subimages,
+)
+from frame2frame_tpu.losses.warped import WarpedLoss, time_window_inds
+
+
+def test_nb2nb_subimage_selection_matches_torch():
+    """Block-position selection must equal torch space_to_depth + mask gather
+    (nb2nb_loss.py:100-120)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 8, 6, 3
+    img = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    sel = rng.integers(0, 4, size=(B, H // 2, W // 2))
+
+    got = np.asarray(generate_subimages(jnp.asarray(img), jnp.asarray(sel)))
+
+    # torch oracle: unfold(2, stride 2) ordering
+    x = torch.tensor(img).permute(0, 3, 1, 2)  # NCHW
+    for c in range(C):
+        unf = torch.nn.functional.unfold(x[:, c : c + 1], 2, stride=2)
+        unf = unf.view(B, 4, H // 2, W // 2)
+        for b in range(B):
+            for i in range(H // 2):
+                for j in range(W // 2):
+                    exp = unf[b, sel[b, i, j], i, j].item()
+                    assert abs(got[b, i, j, c] - exp) < 1e-6
+
+
+def test_nb2nb_mask_pair_valid():
+    key = jax.random.PRNGKey(0)
+    s1, s2 = generate_mask_pair(key, (4, 16, 16))
+    assert s1.shape == (4, 8, 8)
+    # pairs must always be adjacent positions within the 2x2 block
+    adj = {(0, 1), (0, 2), (1, 3), (2, 3), (1, 0), (2, 0), (3, 1), (3, 2)}
+    pairs = set(zip(np.asarray(s1).ravel().tolist(), np.asarray(s2).ravel().tolist()))
+    assert pairs <= adj
+
+
+def test_nb2nb_identity_model_zero_loss1():
+    """With a perfect denoiser f(y)=y, loss1 = E|g1(y)-g2(y)|^2 of neighbors."""
+    loss = Nb2NbLoss(1.0, 1.0, nepochs=10, epoch_ratio=2.0)
+    noisy = jnp.asarray(np.random.default_rng(1).random((1, 2, 16, 16, 1)),
+                        jnp.float32)
+    deno, val = loss.compute(lambda x: x, noisy, epoch=0, key=jax.random.PRNGKey(3))
+    assert np.isfinite(float(val))
+    np.testing.assert_allclose(np.asarray(deno), np.asarray(noisy))
+
+
+def test_b2u_masks_partition():
+    """The 16 fixed masks tile the plane: sum over masks == 1 everywhere."""
+    masks = np.asarray(_fixed_masks(16, 16, 4))
+    np.testing.assert_array_equal(masks.sum(0), np.ones((16, 16)))
+
+
+def test_b2u_interpolate_matches_scipy():
+    from scipy.ndimage import convolve
+
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(1, 8, 8, 1)).astype(np.float32)
+    mask = np.asarray(_fixed_masks(8, 8, 4))[3]
+    got = np.asarray(interpolate_mask(jnp.asarray(img), jnp.asarray(mask)))
+    k = np.array([[0.5, 1, 0.5], [1, 0, 1], [0.5, 1, 0.5]])
+    k = k / k.sum()
+    filt = convolve(img[0, ..., 0], k, mode="constant")
+    exp = filt * mask + img[0, ..., 0] * (1 - mask)
+    np.testing.assert_allclose(got[0, ..., 0], exp, atol=1e-5)
+
+
+def test_b2u_identity_model():
+    """With f(y)=y the masked-ensemble output equals the interpolated-mask
+    mosaic; the loss must be finite and the exp_diff term zero."""
+    loss = B2ULoss(1.0, 2.0, nepochs=10, epoch_ratio=2.0, ninfo="g_25_-1")
+    noisy = jnp.asarray(np.random.default_rng(3).random((1, 1, 16, 16, 1)),
+                        jnp.float32)
+    deno, val = loss.compute(lambda x: x, noisy, epoch=0)
+    assert np.isfinite(float(val))
+    assert deno.shape == noisy.shape
+
+
+def test_b2u_test_shape():
+    loss = B2ULoss(1.0, 2.0, 10, 2.0, "")
+    noisy = jnp.zeros((1, 2, 20, 28, 1))
+    out = loss.test(lambda x: x, noisy)
+    assert out.shape == noisy.shape
+
+
+def test_time_window_inds():
+    # interior: symmetric window
+    assert time_window_inds(5, 1, 10) == [5, 4, 6]
+    # boundary: clamped window keeps 2*wt+1 frames
+    assert time_window_inds(0, 1, 10) == [0, 1, 2]
+    assert time_window_inds(9, 1, 10) == [9, 7, 8]
+
+
+def test_warped_run_pairs_static_scene():
+    """A static scene with zero flow: loss equals masked L2 between deno and
+    noisy neighbors."""
+    rng = np.random.default_rng(4)
+    frame = rng.random((1, 1, 16, 16, 1)).astype(np.float32)
+    vid = np.repeat(frame, 3, axis=1)  # truly static scene
+    deno = jnp.asarray(vid)
+    noisy = jnp.asarray(vid + 0.1)
+    flows = Config(fflow=jnp.zeros((1, 3, 16, 16, 2)),
+                   bflow=jnp.zeros((1, 3, 16, 16, 2)))
+    crit = WarpedLoss("l2", wt=1)
+    loss = float(crit.run_pairs(deno, noisy, flows, step=0))
+    assert np.isfinite(loss)
+    # masked L2 of a constant 0.1 offset, border + nothing else occluded
+    assert 0.0 < loss < 0.01 + 1e-6
+
+
+def test_sup_loss_values():
+    a = jnp.ones((2, 3, 4, 4, 1))
+    b = jnp.zeros_like(a)
+    assert float(sup_loss(a, b, "l2")) == 1.0
+    assert float(sup_loss(a, b, "l1")) == 1.0
+
+
+def test_combo_switch():
+    calls = []
+
+    class L0:
+        def compute(self, f, n, e, k=None):
+            calls.append("l0")
+            return n, jnp.asarray(0.0)
+
+    def l1(noisy, clean, deno, flows, epoch, key=None):
+        calls.append("l1")
+        return jnp.asarray(1.0)
+
+    combo = ComboLoss(L0(), l1, swap=2)
+    noisy = jnp.zeros((1, 2, 8, 8, 1))
+    combo(lambda x: x, noisy, None, epoch=0)
+    combo(lambda x: x, noisy, None, epoch=3)
+    assert calls == ["l0", "l1"]

@@ -1,0 +1,131 @@
+"""Non-local search (stnls-equivalent) tests: the cost-volume search must find
+exact translations, refine must score matched offsets near zero, and flow
+composition must chain correctly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frame2frame_tpu.config import Config
+from frame2frame_tpu.ops import nls
+
+
+@pytest.fixture(scope="module")
+def shifted_video():
+    """3-frame video translating by (+2 x, +1 y) per frame, smooth texture."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(0)
+    H = W = 32
+    base = gaussian_filter(rng.random((H + 16, W + 16)), 2.0).astype(np.float32)
+    frames = [base[4 + t : 4 + t + H, 8 - 2 * t : 8 - 2 * t + W] for t in range(3)]
+    # content moves: frame t+1 at (y,x) == frame t at (y+1, x-2)
+    vid = np.stack(frames)[None, ..., None]
+    return jnp.asarray(vid)
+
+
+def test_search_finds_translation(shifted_video):
+    vid = shifted_video
+    B, T, H, W, C = vid.shape
+    zeros = jnp.zeros((B, T, H, W, 2))
+    flows = Config(fflow=zeros, bflow=zeros)
+    dists, inds = nls.non_local_search(vid, flows, ws=7, wt=1, ps=5, k=1,
+                                       stride0=1)
+    # frame 1 -> frame 2 (window slot for tj=2): content of frame1 at (y,x)
+    # appears in frame2 at (y-1, x+2) => offset (dx=+2, dy=-1)
+    # find the slot where dt=+1
+    ind_t1 = np.asarray(inds[0, 1])  # (H, W, 2, k, 3)
+    dts = ind_t1[H // 2, W // 2, :, 0, 0]
+    slot = int(np.argmax(dts == 1.0))
+    inner = ind_t1[8:-8, 8:-8, slot, 0]
+    assert np.median(inner[..., 1]) == pytest.approx(2.0, abs=0.5)
+    assert np.median(inner[..., 2]) == pytest.approx(-1.0, abs=0.5)
+    # the matched distance is near zero
+    d = np.asarray(dists[0, 1, 8:-8, 8:-8, slot, 0])
+    assert np.median(d) < 1e-3
+
+
+def test_refine_scores_match(shifted_video):
+    vid = shifted_video
+    B, T, H, W, C = vid.shape
+    zeros = jnp.zeros((B, T, H, W, 2))
+    flows = Config(fflow=zeros, bflow=zeros)
+    _, inds = nls.non_local_search(vid, flows, ws=7, wt=1, ps=5, k=1, stride0=1)
+    dists = nls.refine_search(vid, vid, inds, wt=1, ps=5, stride0=1)
+    d = np.asarray(dists[0, 1, 8:-8, 8:-8])
+    assert np.median(d) < 1e-3
+
+
+def test_search_flow_compose_chain():
+    """Two-hop composition: constant flow fields chain additively."""
+    B, T, H, W = 1, 4, 16, 16
+    fflow = jnp.ones((B, T, H, W, 2)) * jnp.asarray([1.0, 0.0])
+    bflow = -fflow
+    comp = nls.search_flow_compose(fflow, bflow, wt=2)
+    # frame 0's window frames are [1, 2] (wait: ti=0, wt=2 -> window [0..4],
+    # non-ref [1,2,3,4] clipped by window size 2*wt=4)
+    frames0 = nls.time_window_frames(0, 2, T)
+    assert frames0 == [1, 2, 3]
+    # flow 0->2 should be ~(2, 0) in the interior
+    slot = frames0.index(2)
+    c = np.asarray(comp[0, 0, slot])
+    assert np.allclose(c[4:-4, 4:-4, 0], 2.0, atol=1e-4)
+
+
+def test_paired_refine_zero_for_identical():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((16, 16, 1)).astype(np.float32))
+    flow = jnp.zeros((16, 16, 2))
+    d = nls.paired_refine(img, img, flow, ps=3)
+    assert float(jnp.max(jnp.abs(d))) < 1e-10
+
+
+def test_non_local_stack_aligns(shifted_video):
+    vid = shifted_video
+    B, T, H, W, C = vid.shape
+    zeros = jnp.zeros((B, T, H, W, 2))
+    flows = Config(fflow=zeros, bflow=zeros)
+    _, inds = nls.non_local_search(vid, flows, ws=7, wt=1, ps=5, k=1, stride0=1)
+    stack = nls.non_local_stack(vid, inds, wt=1)
+    assert stack.shape[:2] == (B, 2)  # S*k = 2*1
+    # stacked neighbor should closely match the reference frame (aligned)
+    err = np.abs(np.asarray(stack[0, 0, 1, 8:-8, 8:-8] - vid[0, 1, 8:-8, 8:-8]))
+    assert err.mean() < 0.02
+
+
+def test_dnls_loss_runs(shifted_video):
+    from frame2frame_tpu.losses.stnls import DnlsLoss
+
+    vid = shifted_video
+    B, T, H, W, C = vid.shape
+    zeros = jnp.zeros((B, T, H, W, 2))
+    flows = Config(fflow=zeros, bflow=zeros)
+    noisy = vid + 0.05
+    crit = DnlsLoss(ws=5, wt=1, ps=5, ps_dists=-1, k=2, stride0=2,
+                    dist_crit="v0", search_input="deno", nepochs=10,
+                    dist_mask=0.5)
+    loss = crit(noisy, vid, vid, flows, curr_epoch=0)
+    assert np.isfinite(float(loss))
+    # perfect deno vs noisy at matched offsets: loss ~ noise level
+    assert float(loss) < 1.0
+
+
+def test_dnls_loss_grad_flows(shifted_video):
+    from frame2frame_tpu.losses.stnls import DnlsLoss
+
+    vid = shifted_video
+    B, T, H, W, C = vid.shape
+    zeros = jnp.zeros((B, T, H, W, 2))
+    flows = Config(fflow=zeros, bflow=zeros)
+    noisy = vid + 0.05
+    crit = DnlsLoss(ws=3, wt=1, ps=3, k=1, stride0=4, dist_crit="v0",
+                    nepochs=10, dist_mask=0.5)
+
+    def f(deno):
+        return crit(noisy, vid, deno, flows, curr_epoch=0)
+
+    g = jax.grad(f)(vid)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
