@@ -8,9 +8,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline provenance (BASELINE.md): the reference publishes no numbers; the
 reference C TV-L1 binary measured on this host CPU takes ~0.35 s/frame at 540p
-(bflow only, denoising params), and the 20-iteration DnCNN-17 fine-tune+denoise
-at 540p is estimated at ~0.60 s/frame on a paper-era CUDA GPU (~1.7 TFLOP of
-conv work per frame) — reference total ~0.95 s/frame => ~1.05 fps.
+(bflow only, denoising params). The 20-iteration DnCNN-17 fine-tune+denoise at
+540p is ~35 TFLOP of conv work per frame (0.58 TFLOP fwd x ~3 for fwd+bwd x 20
+iters + eval fwd); on a paper-era CUDA GPU sustaining ~10 TFLOPs on these
+convs that is ~3.5 s/frame — reference total ~3.85 s/frame => ~0.26 fps.
+
+Timing note: under the axon TPU tunnel ``block_until_ready`` does not wait for
+device completion — a small device->host readback of the result forces it.
 """
 
 import json
@@ -18,7 +22,7 @@ import time
 
 import numpy as np
 
-REF_SECONDS_PER_FRAME = 0.95  # measured C flow (0.35) + estimated CUDA finetune (0.60)
+REF_SECONDS_PER_FRAME = 3.85  # measured C flow (0.35) + FLOP-based CUDA finetune (3.5)
 
 H, W = 540, 960
 WARMUP_FRAMES = 2
@@ -62,16 +66,21 @@ def main():
         deno, losses = engine.process_frame(cur, prev, flow)
         return deno
 
+    def force(x):
+        # block_until_ready is not a completion barrier under the axon tunnel;
+        # a tiny readback is
+        return float(jnp.sum(x.ravel()[:2]))
+
     frames_dev = [jnp.asarray(f[..., None]) for f in frames]
     # warmup (compile)
     for t in range(1, WARMUP_FRAMES + 1):
         deno = process(frames_dev[t], frames_dev[t - 1])
-    jax.block_until_ready(deno)
+    force(deno)
 
     t0 = time.perf_counter()
     for t in range(WARMUP_FRAMES + 1, WARMUP_FRAMES + 1 + BENCH_FRAMES):
         deno = process(frames_dev[t], frames_dev[t - 1])
-    jax.block_until_ready(deno)
+    force(deno)
     dt = time.perf_counter() - t0
 
     fps = BENCH_FRAMES / dt
