@@ -21,12 +21,46 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class Conv3x3(nn.Module):
+    """3x3 SAME conv with a selectable compute implementation.
+
+    ``conv_impl``: "xla" (nn.Conv-equivalent), "hybrid" (XLA fwd/dX + Pallas
+    dW kernel — fastest measured for the batch-1 online finetune) or "pallas"
+    (full Pallas fwd+bwd). Parameter layout matches nn.Conv ("kernel", HWIO)
+    so checkpoints interoperate across implementations.
+    """
+
+    features: int
+    conv_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32,
+        )
+        from ..ops.pallas_conv import _xla_conv, conv3x3, conv3x3_hybrid
+
+        fn = {"xla": _xla_conv, "hybrid": conv3x3_hybrid,
+              "pallas": conv3x3}[self.conv_impl]
+        return fn(x.astype(jnp.float32), kernel).astype(self.dtype)
+
+
 class DnCNN(nn.Module):
     channels: int = 1
     num_layers: int = 17
     features: int = 64
     residual: bool = False
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "xla"
+
+    def _conv(self, features, name):
+        if self.conv_impl == "xla":
+            return nn.Conv(features, (3, 3), padding="SAME", use_bias=False,
+                           dtype=self.dtype, name=name)
+        return Conv3x3(features, conv_impl=self.conv_impl, dtype=self.dtype,
+                       name=name)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,26 +69,17 @@ class DnCNN(nn.Module):
             vid_shape = x.shape
             x = x.reshape((-1,) + x.shape[2:])
 
-        h = nn.Conv(
-            self.features, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv_in",
-        )(x)
+        h = self._conv(self.features, "conv_in")(x)
         h = nn.relu(h)
         for i in range(self.num_layers - 2):
-            h = nn.Conv(
-                self.features, (3, 3), padding="SAME", use_bias=False,
-                dtype=self.dtype, name=f"conv_{i}",
-            )(h)
+            h = self._conv(self.features, f"conv_{i}")(h)
             # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (-> flax 0.9)
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name=f"bn_{i}",
             )(h)
             h = nn.relu(h)
-        noise = nn.Conv(
-            self.channels, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv_out",
-        )(h)
+        noise = self._conv(self.channels, "conv_out")(h)
 
         out = x - noise if self.residual else noise
         if vid_shape is not None:
@@ -63,10 +88,10 @@ class DnCNN(nn.Module):
 
 
 def init_dncnn(key, channels=1, num_layers=17, residual=False, dtype=jnp.float32,
-               spatial=(64, 64)):
+               spatial=(64, 64), conv_impl="xla"):
     """Initialize a DnCNN; returns (model, variables dict with params+batch_stats)."""
     model = DnCNN(channels=channels, num_layers=num_layers, residual=residual,
-                  dtype=dtype)
+                  dtype=dtype, conv_impl=conv_impl)
     x = jnp.zeros((1, spatial[0], spatial[1], channels), dtype)
     variables = model.init(key, x, train=False)
     return model, variables

@@ -194,18 +194,45 @@ def run_blind_denoising(
             flow = read_flo(flow_tmpl % i).astype(np.float32)
         return arr, flow
 
+    # prefetch backend: native C++ decode-ahead ring when available and the
+    # inputs are png/pgm (native/f2fio.cpp), else a Python thread pool
+    native_pf = None
+    if not is_tiff(input_tmpl % first if "%" in input_tmpl else input_tmpl):
+        try:
+            from ..io import native as native_io
+
+            if native_io.available():
+                frame_paths = [input_tmpl % i if "%" in input_tmpl else input_tmpl
+                               for i in range(first, last + 1)]
+                flow_paths = [None] + [
+                    (flow_tmpl % i) if (tvl1_solver is None) else None
+                    for i in range(first + 1, last + 1)
+                ]
+                native_pf = native_io.NativePrefetcher(
+                    frame_paths, flow_paths, capacity=4, nthreads=2)
+        except Exception:
+            native_pf = None
+
+    def load_native(i, need_flow=True):
+        frame, flow = native_pf.get(i - first)
+        arr = (frame[..., None] / 255.0).astype(np.float32)
+        return arr, (flow.astype(np.float32) if (flow is not None and need_flow)
+                     else None)
+
+    loader = load_native if native_pf is not None else load_inputs
+
     results = {"psnr": [], "loss": [], "frames": []}
     pool = ThreadPoolExecutor(max_workers=2)
 
-    prev, _ = load_inputs(first, need_flow=False)
+    prev, _ = loader(first, need_flow=False)
     prev_dev = jnp.asarray(prev)
-    fut = pool.submit(load_inputs, first + 1)
+    fut = pool.submit(loader, first + 1)
 
     psnr_lines = []
     for i in range(first + 1, last + 1):
         cur, flow = fut.result()
         if i < last:  # prefetch next frame while this one computes
-            fut = pool.submit(load_inputs, i + 1)
+            fut = pool.submit(loader, i + 1)
         cur_dev = jnp.asarray(cur)
         if flow is None:
             # on-device flow cur -> prev (bflow of frame i, tvl1flow.sh naming)
@@ -236,6 +263,8 @@ def run_blind_denoising(
         prev_dev = cur_dev  # next frame trains against current *noisy* frame
 
     pool.shutdown(wait=False)
+    if native_pf is not None:
+        native_pf.close()
 
     if output_psnr and psnr_lines:
         with open(output_psnr, "w") as f:
