@@ -301,6 +301,32 @@ def refine_flow_search(src, tgt, flow, ws, ps, stride0=1):
     return dists, refined
 
 
+def fold_patches(patches, shape, stride0=1):
+    """Scatter-add ps x ps patches back to a video with a weight (count) map —
+    the stnls ``iFoldz`` equivalent (stnls_loss.py:629): returns (vid, wvid)
+    so callers divide for the overlap-normalized reconstruction.
+
+    patches: (B, T, nH, nW, ps, ps, C) patches whose centers sit on the
+    stride0 query grid. shape: target (B, T, H, W, C).
+    """
+    B, T, H, W, C = shape
+    _, _, nH, nW, ps, _, _ = patches.shape
+    r = ps // 2
+    vid = jnp.zeros((B, T, H + 2 * r, W + 2 * r, C), patches.dtype)
+    wvid = jnp.zeros((B, T, H + 2 * r, W + 2 * r, 1), patches.dtype)
+    ones = jnp.ones((B, T, nH, nW, 1), patches.dtype)
+    for dy in range(ps):
+        for dx in range(ps):
+            vals = patches[:, :, :, :, dy, dx, :]  # (B,T,nH,nW,C)
+            ys = jnp.arange(nH) * stride0 + dy
+            xs = jnp.arange(nW) * stride0 + dx
+            vid = vid.at[:, :, ys[:, None], xs[None, :], :].add(
+                vals, mode="drop")
+            wvid = wvid.at[:, :, ys[:, None], xs[None, :], :].add(
+                ones, mode="drop")
+    return vid[:, :, r : r + H, r : r + W, :], wvid[:, :, r : r + H, r : r + W, :]
+
+
 def unfold_k(vid, inds, ps, wt, stride0=1):
     """Extract ps x ps patches at the search offsets (stnls.UnfoldK,
     stnls_loss.py:496): returns (B, T, nH, nW, S, k, ps, ps, C) patches of

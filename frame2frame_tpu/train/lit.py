@@ -60,6 +60,28 @@ def init_cfg(cfg):
                   sim=extract_pairs(cfg, sim_pairs()))
 
 
+def get_sim_model(cfg):
+    """Learned noise-simulator hook (reference get_sim_model,
+    lightning.py:102-109): sim_type "g" means analytic noise (None); a learned
+    simulator module (e.g. the external "stardeno") is loaded by name if
+    importable, else a clear error points at the gap."""
+    from ..config import optional
+
+    sim_type = optional(cfg, "sim_type", "g")
+    if sim_type == "g":
+        return None
+    import importlib
+
+    try:
+        module = importlib.import_module(optional(cfg, "sim_module", sim_type))
+    except ImportError as e:
+        raise ImportError(
+            f"learned noise simulator '{sim_type}' requested but module "
+            f"not available: {e}"
+        ) from e
+    return getattr(module, optional(cfg, "load_fxn", "load_sim"))(cfg)
+
+
 class TrainModule:
     """Loss construction + step functions. State lives outside (TrainState)."""
 
@@ -68,10 +90,23 @@ class TrainModule:
         c = self.cfg
         self.model = model
         self.residual = residual
+        if sim_model is None:
+            try:
+                sim_model = get_sim_model(init_cfg(cfg).sim)
+            except ImportError:
+                sim_model = None
         self.sim_model = sim_model
         self.noise_sim = choose_noise_transform(c)
         self.crit = self.init_crit()
         self.dd_in = c.dd_in
+
+    def sample_noisy(self, batch, key):
+        """Resample noise from a learned simulator (lightning.py:151-155)."""
+        if self.sim_model is None:
+            return batch
+        batch = Config(batch)
+        batch["noisy"] = self.sim_model.run_rgb(batch["clean"], key)
+        return batch
 
     # -- loss construction (lightning.py:373-422) --
 
@@ -172,6 +207,7 @@ class TrainModule:
         """One optimizer step. batch: Config(noisy, clean[, fflow, bflow,
         sigma]) with videos (B, T, H, W, C) in [0, 255]."""
         c = self.cfg
+        batch = self.sample_noisy(batch, key)
         noisy = jnp.asarray(batch["noisy"], jnp.float32) / 255.0
         clean = jnp.asarray(batch["clean"], jnp.float32) / 255.0
         noisy = self.ensure_chnls(noisy, batch.get("sigma", 0.0))

@@ -129,3 +129,27 @@ def test_dnls_loss_grad_flows(shifted_video):
     g = jax.grad(f)(vid)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_fold_patches_reconstructs():
+    """unfold at stride 1 around self-inds + fold == (count-weighted) identity."""
+    from frame2frame_tpu.ops.nls import fold_patches
+
+    rng = np.random.default_rng(5)
+    B, T, H, W, C = 1, 1, 8, 8, 1
+    vid = jnp.asarray(rng.random((B, T, H, W, C)).astype(np.float32))
+    ps = 3
+    # patches extracted densely (stride0=1) at zero offsets: patch (i,j) is the
+    # 3x3 neighborhood of pixel (i,j) with reflect bounds
+    padded = jnp.pad(vid, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    patches = jnp.stack(
+        [jnp.stack([padded[:, :, dy:dy + H, dx:dx + W, :] for dx in range(3)],
+                   axis=4)
+         for dy in range(3)], axis=4,
+    )
+    # patches: (B, T, H, W, ps_dy, ps_dx, C)
+    out, w = fold_patches(patches, (B, T, H, W, C), stride0=1)
+    recon = np.asarray(out / w)
+    # interior pixels: average of the 9 patches containing them == pixel value
+    np.testing.assert_allclose(recon[:, :, 2:-2, 2:-2], np.asarray(vid)[:, :, 2:-2, 2:-2],
+                               rtol=1e-5, atol=1e-6)
