@@ -206,3 +206,125 @@ class PallasConv3x3:
     @staticmethod
     def apply(x, kernel):
         return conv3x3(x, kernel)
+
+
+# ---------------------------------------------------------------------------
+# v2 kernels: im2col patches built in VMEM -> one (M, 9C) @ (9C, Cout) matmul.
+# K = 9C = 576 fills the MXU reduction depth (4.5 x 128 lanes) instead of the
+# half-empty K = 64 of the 9-matmul form; patches never touch HBM (unlike
+# XLA's im2col rewrite, measured 2x slower than lax.conv because of HBM
+# round-trips).
+# ---------------------------------------------------------------------------
+
+
+def _pick_tile_h2(H, W, C, budget_bytes=9 * 1024 * 1024):
+    for th in (8, 4, 2, 1):
+        if H % th == 0 and 4 * th * W * 9 * C <= budget_bytes:
+            return th
+    return 1
+
+
+def _fwd_kernel_p2(xt_ref, w_ref, out_ref, *, TH, W, C, Cout):
+    """xt (1, TH+2, Wp, C); w (9*C, Cout); out (1, TH, W, Cout)."""
+    cols = []
+    for dy in range(3):
+        for dx in range(3):
+            cols.append(xt_ref[0, dy : dy + TH, dx : dx + W, :].reshape(TH * W, C))
+    patches = jnp.concatenate(cols, axis=1)  # (TH*W, 9C)
+    out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = out.reshape(TH, W, Cout)
+
+
+def _dw_kernel_p2(xt_ref, dy_ref, dw_ref, *, TH, W, C, Cout):
+    i = pl.program_id(0)
+    cols = []
+    for dy in range(3):
+        for dx in range(3):
+            cols.append(xt_ref[0, dy : dy + TH, dx : dx + W, :].reshape(TH * W, C))
+    patches = jnp.concatenate(cols, axis=1)  # (TH*W, 9C)
+    g = dy_ref[0].reshape(TH * W, Cout)
+    contrib = lax.dot_general(
+        patches, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (9C, Cout)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = contrib
+
+    @pl.when(i != 0)
+    def _():
+        dw_ref[:] += contrib
+
+
+def conv3x3_nopad_p2(xp, w):
+    Hp, Wp, C = xp.shape
+    H, W = Hp - 2, Wp - 2
+    Cout = w.shape[-1]
+    TH = _pick_tile_h2(H, W, C)
+    w9 = w.reshape(9 * C, Cout)
+    xt = _overlap_tiles(xp, H, TH)
+    n = H // TH
+    out = pl.pallas_call(
+        partial(_fwd_kernel_p2, TH=TH, W=W, C=C, Cout=Cout),
+        out_shape=jax.ShapeDtypeStruct((n, TH, W, Cout), jnp.float32),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, TH + 2, Wp, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W, Cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(xt, w9)
+    return out.reshape(H, W, Cout)
+
+
+def _dw_nopad_p2(xp, dy):
+    Hp, Wp, C = xp.shape
+    H, W = Hp - 2, Wp - 2
+    Cout = dy.shape[-1]
+    TH = _pick_tile_h2(H, W, C)
+    n = H // TH
+    xt = _overlap_tiles(xp, H, TH)
+    dyt = dy.reshape(n, TH, W, Cout)
+    dw = pl.pallas_call(
+        partial(_dw_kernel_p2, TH=TH, W=W, C=C, Cout=Cout),
+        out_shape=jax.ShapeDtypeStruct((9 * C, Cout), jnp.float32),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, TH + 2, Wp, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W, Cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9 * C, Cout), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(xt, dyt)
+    return dw.reshape(3, 3, C, Cout)
+
+
+@jax.custom_vjp
+def conv3x3_p2(x, w):
+    """3x3 SAME conv with the im2col-in-VMEM kernels for fwd, dX and dW."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jax.vmap(lambda a: conv3x3_nopad_p2(a, w))(xp)
+
+
+def _p2_fwd(x, w):
+    return conv3x3_p2(x, w), (x, w)
+
+
+def _p2_bwd(res, g):
+    x, w = res
+    wT = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dx = jax.vmap(lambda a: conv3x3_nopad_p2(a, wT))(gp)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = jax.vmap(_dw_nopad_p2)(xp, g).sum(axis=0)
+    return dx, dw
+
+
+conv3x3_p2.defvjp(_p2_fwd, _p2_bwd)

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from frame2frame_tpu.ops.pallas_conv import conv3x3, conv3x3_hybrid
+from frame2frame_tpu.ops.pallas_conv import conv3x3, conv3x3_hybrid, conv3x3_p2
 
 
 def _ref_conv(x, w):
@@ -25,7 +25,7 @@ def data():
     return x, w
 
 
-@pytest.mark.parametrize("conv", [conv3x3, conv3x3_hybrid])
+@pytest.mark.parametrize("conv", [conv3x3, conv3x3_hybrid, conv3x3_p2])
 def test_fwd_parity(data, conv):
     x, w = data
     np.testing.assert_allclose(np.asarray(conv(x, w)),
@@ -33,7 +33,7 @@ def test_fwd_parity(data, conv):
                                atol=1e-5)
 
 
-@pytest.mark.parametrize("conv", [conv3x3, conv3x3_hybrid])
+@pytest.mark.parametrize("conv", [conv3x3, conv3x3_hybrid, conv3x3_p2])
 def test_grad_parity(data, conv):
     x, w = data
 
