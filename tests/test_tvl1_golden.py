@@ -59,3 +59,17 @@ def test_tvl1_recovers_known_shift(pair):
     inner = flow[10:-10, 10:-10]
     assert abs(np.median(inner[..., 0]) - 1.0) < 0.35
     assert abs(np.median(inner[..., 1]) + 1.0) < 0.35
+
+
+def test_pallas_inner_bit_identical(pair):
+    """The VMEM-resident Pallas inner loop must match the XLA while_loop
+    bit-for-bit (same ops, same order)."""
+    import numpy as np
+
+    I0, I1 = pair
+    small0 = I0[:48, :64]
+    small1 = I1[:48, :64]
+    sx = make_tvl1_solver(64, 48, max_iters=30, inner_impl="xla")
+    sp = make_tvl1_solver(64, 48, max_iters=30, inner_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(sx(small0, small1)),
+                                  np.asarray(sp(small0, small1)))
