@@ -96,8 +96,12 @@ def run(cfg):
             else:
                 flows = flow_api.run_flows(noisy_f, tcfg.flow)
 
-        # forward fn: model (+ optional x8 ensemble) (+ chunking)
+        # forward fn: model (+ optional x8 ensemble) (+ chunking);
+        # video models (FastDVDnet) consume (B, T, H, W, C) directly,
+        # frame models (DnCNN) flatten time into batch
         def model_fwd(vid, fl=None):
+            if ms.get("video_model", False):
+                return state_apply(vid)
             B, T = vid.shape[:2]
             out = state_apply(vid.reshape((B * T,) + vid.shape[2:]))
             return out.reshape(vid.shape[:2] + out.shape[1:])

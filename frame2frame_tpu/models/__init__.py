@@ -65,7 +65,8 @@ def load_model(cfg):
                                mutable=["batch_stats"], **kw)
         return model.apply(variables, vid, train=False, **kw)
 
-    return Config(model=model, variables=variables, apply=apply, cfg=cfg)
+    return Config(model=model, variables=variables, apply=apply, cfg=cfg,
+                  video_model=mtype in FASTDVD_NAMES)
 
 
 def load_checkpoint(variables, path, num_layers=17):

@@ -85,11 +85,13 @@ def get_sim_model(cfg):
 class TrainModule:
     """Loss construction + step functions. State lives outside (TrainState)."""
 
-    def __init__(self, cfg, model, residual=True, sim_model=None):
+    def __init__(self, cfg, model, residual=True, sim_model=None,
+                 video_model=False):
         self.cfg = init_cfg(cfg).lit
         c = self.cfg
         self.model = model
         self.residual = residual
+        self.video_model = video_model  # consumes (B,T,H,W,C) directly
         if sim_model is None:
             try:
                 sim_model = get_sim_model(init_cfg(cfg).sim)
@@ -169,6 +171,8 @@ class TrainModule:
         B, T = noisy.shape[:2]
 
         def fwd(v):
+            if self.video_model:
+                return apply_fn(v)
             out = apply_fn(v.reshape((B * T,) + v.shape[2:]))
             return out.reshape(v.shape[:2] + out.shape[1:])
 
@@ -194,7 +198,11 @@ class TrainModule:
             return deno, jnp.mean((deno - clean) ** 2)
         if name == "sup_fdvd":
             deno = fwd(noisy)
-            return deno, jnp.mean((deno - clean[:, T // 2]) ** 2)
+            # center-frame supervision (lightning.py:351-356); a video model
+            # returns (B,T,...) so compare its center frame
+            tgt = clean[:, T // 2]
+            pred = deno[:, T // 2] if deno.ndim == clean.ndim else deno
+            return deno, jnp.mean((pred - tgt) ** 2)
         if name == "n2n":
             deno = fwd(noisy)
             noisy2 = self.noise_sim(key, clean * 255.0) / 255.0
@@ -244,8 +252,11 @@ class TrainModule:
         clean = jnp.asarray(batch["clean"], jnp.float32) / 255.0
         noisy = self.ensure_chnls(noisy, batch.get("sigma", 0.0))
         B, T = noisy.shape[:2]
-        deno = state.eval_apply(noisy.reshape((B * T,) + noisy.shape[2:]))
-        deno = deno.reshape(clean.shape)
+        if self.video_model:
+            deno = state.eval_apply(noisy)
+        else:
+            deno = state.eval_apply(noisy.reshape((B * T,) + noisy.shape[2:]))
+            deno = deno.reshape(clean.shape)
         from ..utils.metrics import compute_ssims
 
         loss = float(jnp.mean((clean - deno) ** 2))

@@ -48,7 +48,8 @@ def run(cfg):
     key = jax.random.PRNGKey(seed)
 
     ms = load_model(cfg)
-    module = TrainModule(cfg, ms.model, residual=optional(cfg, "residual", True))
+    module = TrainModule(cfg, ms.model, residual=optional(cfg, "residual", True),
+                         video_model=ms.get("video_model", False))
     nepochs = max(optional(cfg, "nepochs", 1), 1)
 
     data, loaders = sets.load(cfg)
