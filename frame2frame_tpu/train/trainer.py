@@ -36,6 +36,28 @@ class MetricsAccumulator:
                 for k, v in self.metrics.items()}
 
 
+class CSVLogger:
+    """Streams metric rows to a CSV file (lightning CSVLogger equivalent,
+    lightning.py:63). Columns grow as new metric keys appear."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._keys = None
+        self._rows = []
+
+    def log(self, metrics):
+        row = {k: v for k, v in metrics.items() if np.ndim(v) == 0}
+        self._rows.append(row)
+        keys = sorted({k for r in self._rows for k in r})
+        if keys != self._keys:
+            self._keys = keys
+        with open(self.path, "w") as f:
+            f.write(",".join(self._keys) + "\n")
+            for r in self._rows:
+                f.write(",".join(str(r.get(k, "")) for k in self._keys) + "\n")
+
+
 def run(cfg):
     """Train a model per config; returns a results Config.
 
@@ -63,6 +85,9 @@ def run(cfg):
     limit = optional(cfg, "limit_train_batches", -1)
 
     acc = MetricsAccumulator()
+    csv_logger = None
+    if optional(cfg, "log_csv", True):
+        csv_logger = CSVLogger(ckpt_dir / f"{uuid}-metrics.csv")
     for epoch in range(nepochs):
         for i, batch in enumerate(loaders.tr):
             if limit > 0 and i >= limit:
@@ -72,6 +97,8 @@ def run(cfg):
             metrics["lr"] = float(sched(state.step - 1))
             metrics["epoch"] = epoch
             acc.append(metrics)
+            if csv_logger is not None:
+                csv_logger.log(metrics)
 
         # validation at epoch end (lightning val loop analogue)
         val = MetricsAccumulator()
