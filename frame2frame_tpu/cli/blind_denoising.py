@@ -43,6 +43,9 @@ def build_parser():
     parser.add_argument("--channels", type=int, default=1)
     parser.add_argument("--layers", type=int, default=17)
     parser.add_argument("--compute_flow", action="store_true")
+    parser.add_argument("--remat", type=int, default=-1,
+                        help="checkpoint every N layers during fine-tune "
+                        "(-1 = auto: 4 for frames >= ~1MP, else off)")
     return parser
 
 
@@ -55,12 +58,18 @@ def main(argv=None):
         print(f"\t{p}: {v}")
     print()
 
+    from ..io.image import read_frame
     from ..models.dncnn import init_dncnn, load_torch_checkpoint
     from ..train.online import run_blind_denoising
 
+    remat = args.remat
+    if remat < 0:  # auto: big frames need activation checkpointing
+        probe = read_frame(args.input, args.first)
+        remat = 2 if probe.shape[0] * probe.shape[1] >= 1_000_000 else 0
+
     model, variables = init_dncnn(
         jax.random.PRNGKey(0), channels=args.channels, num_layers=args.layers,
-        residual=False,
+        residual=False, remat_every=remat,
     )
     if args.network:
         if args.network.endswith((".pth", ".pt")):

@@ -54,6 +54,7 @@ class DnCNN(nn.Module):
     residual: bool = False
     dtype: jnp.dtype = jnp.float32
     conv_impl: str = "xla"
+    remat_every: int = 0  # >0: checkpoint every N middle layers (1080p finetune)
 
     def _conv(self, features, name):
         if self.conv_impl == "xla":
@@ -61,6 +62,15 @@ class DnCNN(nn.Module):
                            dtype=self.dtype, name=name)
         return Conv3x3(features, conv_impl=self.conv_impl, dtype=self.dtype,
                        name=name)
+
+    def _mid_layer(self, h, i, train):
+        h = self._conv(self.features, f"conv_{i}")(h)
+        # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (-> flax 0.9)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=f"bn_{i}",
+        )(h)
+        return nn.relu(h)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -71,14 +81,29 @@ class DnCNN(nn.Module):
 
         h = self._conv(self.features, "conv_in")(x)
         h = nn.relu(h)
-        for i in range(self.num_layers - 2):
-            h = self._conv(self.features, f"conv_{i}")(h)
-            # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (-> flax 0.9)
-            h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"bn_{i}",
-            )(h)
-            h = nn.relu(h)
+        nmid = self.num_layers - 2
+        if self.remat_every > 0:
+            # gradient checkpointing: store activations only at group
+            # boundaries, recompute inside the group on the backward pass —
+            # trades ~1 extra forward for a remat_every-fold activation-memory
+            # cut (needed for the 1080p online finetune, which otherwise
+            # exceeds HBM: 17 layers x 1080p x 64ch of saved activations).
+            # Lifted remat preserves parameter/bn names, so checkpoints stay
+            # layout-compatible with the unrematted model.
+            def group(mdl, h, i0, k):
+                for i in range(i0, i0 + k):
+                    h = mdl._mid_layer(h, i, train)
+                return h
+
+            remat_group = nn.remat(group, static_argnums=(2, 3))
+            i = 0
+            while i < nmid:
+                k = min(self.remat_every, nmid - i)
+                h = remat_group(self, h, i, k)
+                i += k
+        else:
+            for i in range(nmid):
+                h = self._mid_layer(h, i, train)
         noise = self._conv(self.channels, "conv_out")(h)
 
         out = x - noise if self.residual else noise
@@ -88,10 +113,10 @@ class DnCNN(nn.Module):
 
 
 def init_dncnn(key, channels=1, num_layers=17, residual=False, dtype=jnp.float32,
-               spatial=(64, 64), conv_impl="xla"):
+               spatial=(64, 64), conv_impl="xla", remat_every=0):
     """Initialize a DnCNN; returns (model, variables dict with params+batch_stats)."""
     model = DnCNN(channels=channels, num_layers=num_layers, residual=residual,
-                  dtype=dtype, conv_impl=conv_impl)
+                  dtype=dtype, conv_impl=conv_impl, remat_every=remat_every)
     x = jnp.zeros((1, spatial[0], spatial[1], channels), dtype)
     variables = model.init(key, x, train=False)
     return model, variables

@@ -107,3 +107,26 @@ def test_pth_checkpoint_import(tmp_path):
         ref = net(torch.tensor(np.asarray(x)).permute(0, 3, 1, 2)).numpy()
     np.testing.assert_allclose(np.asarray(out)[0, ..., 0], ref[0, 0],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_remat_bit_identical():
+    """Gradient-checkpointed DnCNN (remat_every>0) must match the plain model
+    bit-for-bit: outputs, grads, and BN stat updates (layout-compatible)."""
+    from frame2frame_tpu.models.dncnn import DnCNN, init_dncnn
+
+    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1, num_layers=7)
+    model_r = DnCNN(channels=1, num_layers=7, remat_every=2)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 16, 16, 1)), jnp.float32)
+    a = model.apply(variables, x, train=False)
+    b = model_r.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(m, p):
+        out, _ = m.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out**2)
+
+    ga = jax.grad(lambda p: loss(model, p))(variables["params"])
+    gb = jax.grad(lambda p: loss(model_r, p))(variables["params"])
+    for u, v in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
