@@ -26,7 +26,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops.warp import warped_dist_loss
 
 
-def make_sharded_f2f_step(model, mesh, tx, dist_crit="l2", residual=True):
+def make_sharded_f2f_step(model, mesh, tx, dist_crit="l2", residual=True,
+                          train_bn=True):
     """Build a jitted sharded train step for the frame2frame (warped) loss.
 
     step(params, batch_stats, opt_state, noisy, bflow) ->
@@ -34,6 +35,12 @@ def make_sharded_f2f_step(model, mesh, tx, dist_crit="l2", residual=True):
 
     noisy: (B, T, H, W, C) sharded (data, time); bflow: (B, T, H, W, 2) sharded
     likewise, where bflow[:, t] maps frame t to frame t-1 (bflow[:, 0] unused).
+
+    ``train_bn=True`` computes BatchNorm statistics per shard (standard
+    data-parallel local-BN semantics; stats are pmean-ed into the running
+    averages). ``train_bn=False`` normalizes with running averages, making the
+    step numerically identical to the unsharded computation (and matching the
+    reference's BN-frozen adaptation mode, instances_adapt.py:200-206).
     """
     n_time = mesh.shape["time"]
     axes = ("data", "time")
@@ -48,21 +55,30 @@ def make_sharded_f2f_step(model, mesh, tx, dist_crit="l2", residual=True):
 
         # frame-pair validity: every local frame except the global first
         t_loc = noisy.shape[1]
+        b_loc = noisy.shape[0]
         local_idx = jnp.arange(t_loc)
         valid = (tix * t_loc + local_idx) > 0  # (t_loc,)
-        n_pairs = lax.psum(jnp.sum(valid.astype(noisy.dtype)), axes)
+        # global pair count: every (batch row, valid frame) pair
+        n_pairs = lax.psum(b_loc * jnp.sum(valid.astype(noisy.dtype)), axes)
 
         pair_loss = jax.vmap(jax.vmap(
             partial(warped_dist_loss, dist_crit=dist_crit)))
 
         def loss_fn(p, bs):
-            deno, upd = model.apply({"params": p, "batch_stats": bs}, noisy,
-                                    train=True, mutable=["batch_stats"])
+            if train_bn:
+                deno, upd = model.apply({"params": p, "batch_stats": bs},
+                                        noisy, train=True,
+                                        mutable=["batch_stats"])
+                new_bs = upd["batch_stats"]
+            else:
+                deno = model.apply({"params": p, "batch_stats": bs}, noisy,
+                                   train=False)
+                new_bs = bs
             if not residual:
                 deno = noisy - deno
             losses = pair_loss(deno, prev, bflow)  # (b_loc, t_loc)
             local = jnp.sum(losses * valid[None, :])
-            return local / n_pairs, upd["batch_stats"]
+            return local / n_pairs, new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats)
