@@ -30,7 +30,30 @@ BENCH_FRAMES = 8
 ITERS = 20
 
 
+def _clear_stale_tpu_lock():
+    """A SIGKILLed TPU client can leave /tmp/libtpu_lockfile behind, wedging
+    the next process with FAILED_PRECONDITION. If the flock is acquirable the
+    lock is stale — remove it."""
+    import fcntl
+    import os
+
+    path = "/tmp/libtpu_lockfile"
+    try:
+        fd = os.open(path, os.O_RDWR)
+    except OSError:
+        return
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.unlink(path)
+    except OSError:
+        pass  # genuinely held by a live process
+    finally:
+        os.close(fd)
+
+
 def main():
+    _clear_stale_tpu_lock()
     import jax
     import jax.numpy as jnp
 
