@@ -114,6 +114,10 @@ def run(cfg):
             base_fwd = model_fwd
 
         chunk_cfg = extract_chunks_config(cfg)
+        if tcfg.longest_space_chunk and chunk_cfg.spatial_chunk_size:
+            # stretch the spatial chunk to the longest frame side
+            # (set_longest_spatial_chunk, reference test.py:172-174)
+            chunk_cfg.spatial_chunk_size = max(noisy.shape[-3], noisy.shape[-2])
         fwd_fxn = chunk(chunk_cfg, base_fwd)
 
         # burn-in once (test.py:180-186)
