@@ -40,10 +40,15 @@ class Conv3x3(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, x.shape[-1], self.features), jnp.float32,
         )
-        from ..ops.pallas_conv import _xla_conv, conv3x3, conv3x3_hybrid
+        from ..ops.pallas_conv import (
+            _xla_conv,
+            conv3x3,
+            conv3x3_bf16res,
+            conv3x3_hybrid,
+        )
 
         fn = {"xla": _xla_conv, "hybrid": conv3x3_hybrid,
-              "pallas": conv3x3}[self.conv_impl]
+              "pallas": conv3x3, "bf16res": conv3x3_bf16res}[self.conv_impl]
         return fn(x.astype(jnp.float32), kernel).astype(self.dtype)
 
 

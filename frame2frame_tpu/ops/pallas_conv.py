@@ -199,6 +199,53 @@ def _hybrid_bwd(res, g):
 conv3x3_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
+# ---------------------------------------------------------------------------
+# bf16-residual conv: identical forward; the saved activation residual is
+# stored in bfloat16 so the dW reduction streams half the bytes. On TPU the
+# MXU multiplies f32 operands in bf16 passes anyway (default matmul
+# precision), so this changes only memory traffic, not the multiply precision.
+# Measured motivation (BASELINE.md): the 16 per-layer dW tall reductions are
+# the online-finetune bottleneck (6.25 ms each, streaming-bound).
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def conv3x3_bf16res(x, w):
+    return _xla_conv(x, w)
+
+
+def _bf16res_fwd(x, w):
+    return _xla_conv(x, w), (x.astype(jnp.bfloat16), w)
+
+
+def _bf16res_bwd(res, g):
+    xb, w = res
+    wT = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = _xla_conv(g, wT)
+    gb = g.astype(jnp.bfloat16)
+    # dW = correlation of x with g: 9 shifted tall matmuls on bf16 operands,
+    # f32 accumulation
+    B, H, W, C = xb.shape
+    Cout = g.shape[-1]
+    xp = jnp.pad(xb, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    gflat = gb.reshape(-1, Cout)
+    taps = []
+    for dy in range(3):
+        row = []
+        for dx_ in range(3):
+            xs = xp[:, dy : dy + H, dx_ : dx_ + W, :].reshape(-1, C)
+            row.append(
+                jnp.einsum("mc,md->cd", xs, gflat,
+                           preferred_element_type=jnp.float32)
+            )
+        taps.append(jnp.stack(row))
+    dw = jnp.stack(taps)  # (3, 3, C, Cout)
+    return dx, dw
+
+
+conv3x3_bf16res.defvjp(_bf16res_fwd, _bf16res_bwd)
+
+
 class PallasConv3x3:
     """flax-compatible functional wrapper used by models.dncnn when
     ``use_pallas_conv`` is set."""

@@ -71,3 +71,21 @@ def test_dncnn_conv_impl_equivalence():
     out_h = model_h.apply(vars_x, x, train=False)  # same params, same layout
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bf16res_conv_structure(data):
+    """bf16-residual conv: dX exact, dW within bf16 rounding of the reference
+    (the stored residual is cast; multiply precision is unchanged)."""
+    from frame2frame_tpu.ops.pallas_conv import conv3x3_bf16res
+
+    x, w = data
+    np.testing.assert_allclose(np.asarray(conv3x3_bf16res(x, w)),
+                               np.asarray(_ref_conv(x, w)), rtol=1e-5, atol=1e-5)
+    gx_ref = jax.grad(lambda xx: jnp.sum(jnp.sin(_ref_conv(xx, w))))(x)
+    gx = jax.grad(lambda xx: jnp.sum(jnp.sin(conv3x3_bf16res(xx, w))))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-5,
+                               atol=1e-6)
+    gw_ref = jax.grad(lambda ww: jnp.sum(jnp.sin(_ref_conv(x, ww))))(w)
+    gw = jax.grad(lambda ww: jnp.sum(jnp.sin(conv3x3_bf16res(x, ww))))(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-2,
+                               atol=2e-2)
