@@ -85,7 +85,9 @@ def test_bf16res_conv_structure(data):
     gx = jax.grad(lambda xx: jnp.sum(jnp.sin(conv3x3_bf16res(xx, w))))(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-5,
                                atol=1e-6)
-    gw_ref = jax.grad(lambda ww: jnp.sum(jnp.sin(_ref_conv(x, ww))))(w)
-    gw = jax.grad(lambda ww: jnp.sum(jnp.sin(conv3x3_bf16res(x, ww))))(w)
-    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-2,
-                               atol=2e-2)
+    gw_ref = np.asarray(jax.grad(lambda ww: jnp.sum(jnp.sin(_ref_conv(x, ww))))(w))
+    gw = np.asarray(jax.grad(lambda ww: jnp.sum(jnp.sin(conv3x3_bf16res(x, ww))))(w))
+    # bf16 storage of the residual: dW deviates at the bf16 rounding level,
+    # measured against the gradient's scale (near-zero entries have huge
+    # relative error by construction)
+    assert np.abs(gw - gw_ref).max() < 0.02 * np.abs(gw_ref).max()
