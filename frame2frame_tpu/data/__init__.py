@@ -1,6 +1,13 @@
 from . import noise
 from .crop import run_rand_crop
-from .datasets import VideoDataset, filter_subseq, load, slice_sample, synthetic_video
+from .datasets import (
+    VideoDataset,
+    filter_subseq,
+    load,
+    pack_raw_bayer,
+    slice_sample,
+    synthetic_video,
+)
 from .noise import (
     GaussianNoise,
     MultiScaleGaussianNoise,

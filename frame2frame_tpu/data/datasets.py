@@ -26,6 +26,20 @@ from ..config import Config, optional
 from .noise import choose_noise_transform
 
 
+def pack_raw_bayer(raw):
+    """Pack a Bayer mosaic (T, H, W) into 4 half-resolution color planes
+    (T, H/2, W/2, 4) — the raw-burst packing of the reference's instance
+    adaptation study (instances_adapt.py:125-129, RGGB order)."""
+    raw = np.asarray(raw)
+    if raw.ndim == 2:
+        raw = raw[None]
+    return np.stack(
+        [raw[:, 0::2, 0::2], raw[:, 0::2, 1::2],
+         raw[:, 1::2, 0::2], raw[:, 1::2, 1::2]],
+        axis=-1,
+    )
+
+
 def synthetic_video(seed, nframes=10, h=128, w=128, channels=1, shift=(1, 1)):
     """Seeded moving smooth texture, (T, H, W, C) float32 in [0, 255]."""
     from scipy.ndimage import gaussian_filter

@@ -33,6 +33,17 @@ def load_variables(path, like=None):
     return fser.msgpack_restore(data)
 
 
+def strip_prefix(state_dict, prefix="net."):
+    """Strip a wrapper prefix from checkpoint keys — the reference's
+    ``remove_lightning_load_state`` shim (lightning.py:605-611) that makes
+    Lightning-wrapped checkpoints (keys like ``net.dncnn.0.weight``) loadable
+    by the bare model."""
+    out = {}
+    for k, v in state_dict.items():
+        out[k[len(prefix):] if k.startswith(prefix) else k] = v
+    return out
+
+
 def save_train_state(path, params, opt_state, batch_stats=None, extra=None):
     """Persist a full training state (params + optimizer + stats), the
     counterpart of torch.save([model, optimizer]) at blind_denoising.py:258."""

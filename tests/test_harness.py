@@ -239,3 +239,21 @@ def test_adapt_wrapper(tiny_model):
     state2, info = loss_fxn(state, noisy, noisy.copy())
     assert len(info.loss) == 2  # (T - nf + 1) = 2 windows x 1 epoch
     assert all(np.isfinite(v) for v in info.loss)
+
+
+def test_strip_prefix():
+    from frame2frame_tpu.models.serialization import strip_prefix
+
+    sd = {"net.dncnn.0.weight": 1, "other": 2}
+    out = strip_prefix(sd, "net.")
+    assert out == {"dncnn.0.weight": 1, "other": 2}
+
+
+def test_pack_raw_bayer():
+    from frame2frame_tpu.data.datasets import pack_raw_bayer
+
+    raw = np.arange(16).reshape(1, 4, 4)
+    packed = pack_raw_bayer(raw)
+    assert packed.shape == (1, 2, 2, 4)
+    # RGGB plane order: R=(0,0), G1=(0,1), G2=(1,0), B=(1,1)
+    np.testing.assert_array_equal(packed[0, 0, 0], [0, 1, 4, 5])
