@@ -57,7 +57,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from frame2frame_tpu.flow.tvl1 import DENOISING_PARAMS, make_tvl1_solver
+    from frame2frame_tpu.flow.tvl1 import DENOISING_PARAMS, make_batched_tvl1
     from frame2frame_tpu.models.dncnn import init_dncnn
     from frame2frame_tpu.train.online import OnlineDenoiser
 
@@ -82,12 +82,16 @@ def main():
 
     model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1, num_layers=17)
     engine = OnlineDenoiser(model, variables, iters=ITERS)
-    solver = make_tvl1_solver(W, H, **DENOISING_PARAMS)
+    # lookahead flow batching: the TV-L1 solve is latency-bound (small-pyramid
+    # while_loop), so one vmapped call for a window of pairs amortizes it
+    # (265 -> 89 ms/flow at 540p, K=8) — the streaming pipeline does the same
+    # (train/online.py flow_batch)
+    solver = make_batched_tvl1(W, H, **DENOISING_PARAMS)
 
-    def process(cur, prev):
-        flow = solver(cur[..., 0] * 255.0, prev[..., 0] * 255.0)
-        deno, losses = engine.process_frame(cur, prev, flow)
-        return deno
+    def solve_flows(ts):
+        I1 = jnp.stack([frames_dev[t][..., 0] for t in ts]) * 255.0
+        I0 = jnp.stack([frames_dev[t - 1][..., 0] for t in ts]) * 255.0
+        return solver(I1, I0)
 
     def force(x):
         # block_until_ready is not a completion barrier under the axon tunnel;
@@ -95,14 +99,20 @@ def main():
         return float(jnp.sum(x.ravel()[:2]))
 
     frames_dev = [jnp.asarray(f[..., None]) for f in frames]
-    # warmup (compile)
-    for t in range(1, WARMUP_FRAMES + 1):
-        deno = process(frames_dev[t], frames_dev[t - 1])
+    # warmup (compile): flow batch + two online steps
+    wts = list(range(1, WARMUP_FRAMES + 1))
+    wflows = solve_flows((wts * BENCH_FRAMES)[:BENCH_FRAMES])
+    for k, t in enumerate(wts):
+        deno, _ = engine.process_frame(frames_dev[t], frames_dev[t - 1],
+                                       wflows[k])
     force(deno)
 
     t0 = time.perf_counter()
-    for t in range(WARMUP_FRAMES + 1, WARMUP_FRAMES + 1 + BENCH_FRAMES):
-        deno = process(frames_dev[t], frames_dev[t - 1])
+    ts = list(range(WARMUP_FRAMES + 1, WARMUP_FRAMES + 1 + BENCH_FRAMES))
+    flows = solve_flows(ts)
+    for k, t in enumerate(ts):
+        deno, _ = engine.process_frame(frames_dev[t], frames_dev[t - 1],
+                                       flows[k])
     force(deno)
     dt = time.perf_counter() - t0
 

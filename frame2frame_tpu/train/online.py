@@ -148,6 +148,7 @@ def run_blind_denoising(
     compute_flow=False,
     flow_params=None,
     progress=False,
+    flow_batch=8,
 ):
     """Streaming blind denoising over a frame sequence — the full reference CLI
     semantics (blind_denoising.py:125-259) with prefetch double-buffering.
@@ -155,6 +156,11 @@ def run_blind_denoising(
     When ``compute_flow`` is True (or no ``flow_tmpl`` given), TV-L1 flow is
     solved on-device in-pipeline instead of reading .flo files — the
     "flow moves in-pipeline" capability of BASELINE.json's north star.
+    ``flow_batch``: lookahead window of frame pairs solved in ONE vmapped
+    TV-L1 call. The solver is latency-bound (small-pyramid while_loop), so
+    batching amortizes it: measured 265 -> 89 ms/flow at 540p with K=8. The
+    reference precomputed ALL flows offline for the same reason
+    (tvl1flow.sh:10-18).
 
     Returns a dict with per-frame psnrs and losses.
     """
@@ -168,13 +174,21 @@ def run_blind_denoising(
 
     tvl1_solver = None
     if compute_flow or flow_tmpl is None:
-        from ..flow.tvl1 import DENOISING_PARAMS, make_tvl1_solver
+        from ..flow.tvl1 import (
+            DENOISING_PARAMS,
+            make_batched_tvl1,
+            make_tvl1_solver,
+        )
 
         probe = read_frame(input_tmpl, first)
         H, W = probe.shape[:2]
         kw = dict(DENOISING_PARAMS)
         kw.update(flow_params or {})
-        tvl1_solver = make_tvl1_solver(W, H, **kw)
+        flow_batch = max(1, min(flow_batch, last - first))
+        if flow_batch > 1:
+            tvl1_solver = make_batched_tvl1(W, H, **kw)
+        else:
+            tvl1_solver = make_tvl1_solver(W, H, **kw)
 
     def load_inputs(i, need_flow=True):
         """Host-side read of frame i (+ flow i if precomputed).
@@ -223,22 +237,55 @@ def run_blind_denoising(
 
     results = {"psnr": [], "loss": [], "frames": []}
     pool = ThreadPoolExecutor(max_workers=2)
+    K = flow_batch if tvl1_solver is not None else 1
 
-    prev, _ = loader(first, need_flow=False)
-    prev_dev = jnp.asarray(prev)
-    fut = pool.submit(loader, first + 1)
+    # lookahead frame loading: keep up to K+1 frames in flight so a whole
+    # flow window's inputs are on device when the batched solve fires
+    futures, frames_dev = {}, {}
+
+    def ensure(j):
+        if first <= j <= last and j not in futures and j not in frames_dev:
+            futures[j] = pool.submit(loader, j, j > first)
+
+    def frame_dev(j):
+        if j not in frames_dev:
+            arr, fl = futures.pop(j).result()
+            frames_dev[j] = (jnp.asarray(arr), fl)
+        return frames_dev[j]
+
+    flow_cache = {}
+
+    def flow_for(i):
+        """bflow of frame i (cur -> prev coords, tvl1flow.sh naming)."""
+        if tvl1_solver is None:
+            return jnp.asarray(frame_dev(i)[1])
+        if i not in flow_cache:
+            hi = min(i + K - 1, last)
+            idx = list(range(i, hi + 1))
+            if K > 1:
+                # pad the tail window to the compiled batch size
+                pad = idx + [idx[-1]] * (K - len(idx))
+                I1 = jnp.stack([frame_dev(j)[0][..., 0] for j in pad]) * 255.0
+                I0 = jnp.stack([frame_dev(j - 1)[0][..., 0] for j in pad]) * 255.0
+                flows = tvl1_solver(I1, I0)
+                for k, j in enumerate(idx):
+                    flow_cache[j] = flows[k]
+            else:
+                c, p = frame_dev(i)[0], frame_dev(i - 1)[0]
+                flow_cache[i] = tvl1_solver(c[..., 0] * 255.0, p[..., 0] * 255.0)
+        return flow_cache.pop(i)
+
+    for j in range(first, min(first + K, last) + 1):
+        ensure(j)
 
     psnr_lines = []
     for i in range(first + 1, last + 1):
-        cur, flow = fut.result()
-        if i < last:  # prefetch next frame while this one computes
-            fut = pool.submit(loader, i + 1)
-        cur_dev = jnp.asarray(cur)
-        if flow is None:
-            # on-device flow cur -> prev (bflow of frame i, tvl1flow.sh naming)
-            flow_dev = tvl1_solver(cur_dev[..., 0] * 255.0, prev_dev[..., 0] * 255.0)
-        else:
-            flow_dev = jnp.asarray(flow)
+        for j in range(i + 1, min(i + K, last) + 1):
+            ensure(j)
+        cur_dev = frame_dev(i)[0]
+        prev_dev = frame_dev(i - 1)[0]
+        flow_dev = flow_for(i)
+        frames_dev.pop(i - 1, None)  # evict consumed frames
 
         deno, losses = deno_engine.process_frame(cur_dev, prev_dev, flow_dev)
         deno_np = np.asarray(deno)
@@ -260,7 +307,8 @@ def run_blind_denoising(
             if progress:
                 print(i, quant)
 
-        prev_dev = cur_dev  # next frame trains against current *noisy* frame
+        # next frame trains against the current *noisy* frame (still cached in
+        # frames_dev[i]; evicted once consumed as i-1)
 
     pool.shutdown(wait=False)
     if native_pf is not None:
