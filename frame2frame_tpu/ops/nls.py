@@ -53,8 +53,10 @@ def _reflect_idx(i, n):
 
 def bilinear_sample_reflect(img, sx, sy):
     """Bilinear sample of img (H, W, C) at float coords (sx, sy) with
-    reflecting boundary; sx/sy shaped (H, W)."""
+    reflecting boundary; sx/sy may have ANY shape (the output is
+    sx.shape + (C,))."""
     H, W, C = img.shape
+    shp = sx.shape
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     wx = (sx - x0)[..., None]
@@ -66,7 +68,7 @@ def bilinear_sample_reflect(img, sx, sy):
     def at(ix, iy):
         ix = _reflect_idx(ix, W)
         iy = _reflect_idx(iy, H)
-        return jnp.take(flat, iy * W + ix, axis=0).reshape(H, W, C)
+        return jnp.take(flat, (iy * W + ix).ravel(), axis=0).reshape(shp + (C,))
 
     v00 = at(x0, y0)
     v01 = at(x0 + 1, y0)
@@ -139,23 +141,30 @@ def search_flow_compose(fflow, bflow, wt):
     return jnp.stack(out, axis=1)
 
 
-def _pair_cost_volume(v0, v1, flow, ws, ps):
-    """Cost volume for one (source frame, target frame, base flow):
-    v0/v1 (H, W, C), flow (H, W, 2) -> dists (H, W, ws*ws), offsets (ws*ws, 2).
+def _window_tables(T, wt):
+    """Static per-(t, slot) tables: target frame, validity (padded slots of
+    short sequences are invalid and get +inf distances)."""
+    import numpy as np
 
-    dists[..., o] = sum over the ps x ps patch of (v0 - v1 warped by flow+o)^2.
-    """
+    S = 2 * wt
+    tj = np.zeros((T, S), np.int32)
+    valid = np.zeros((T, S), np.bool_)
+    for t in range(T):
+        frames = time_window_frames(t, wt, T)
+        for m in range(S):
+            if m < len(frames):
+                tj[t, m], valid[t, m] = frames[m], True
+            else:
+                tj[t, m] = t
+    return jnp.asarray(tj), jnp.asarray(valid)
+
+
+def _search_offsets(ws, dtype=jnp.float32):
+    """(ws*ws, 2) float (dx, dy) window offsets, row-major over dy then dx."""
     r = ws // 2
-    offs = []
-    vols = []
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            o = jnp.asarray([dx, dy], flow.dtype)
-            w = flow_warp_reflect(v1, flow + o)
-            d2 = jnp.sum((v0 - w) ** 2, axis=-1)
-            vols.append(box_filter_sum(d2, ps))
-            offs.append(o)
-    return jnp.stack(vols, axis=-1), jnp.stack(offs, axis=0)
+    dys, dxs = jnp.meshgrid(jnp.arange(-r, r + 1), jnp.arange(-r, r + 1),
+                            indexing="ij")
+    return jnp.stack([dxs, dys], axis=-1).reshape(ws * ws, 2).astype(dtype)
 
 
 def non_local_search(vid, flows, ws, wt, ps, k, stride0=1, srch_vid=None):
@@ -169,6 +178,10 @@ def non_local_search(vid, flows, ws, wt, ps, k, stride0=1, srch_vid=None):
       inds:  (B, T, nH, nW, 2*wt, k, 3)  — float (dt, dx, dy) offsets
     Top-k is per window frame (stnls topk_mode="each"); the reference frame is
     excluded (self_action="remove_ref_frame").
+
+    Scaling: the ws*ws window is a ``lax.scan`` carrying a streaming top-k
+    (O(k) memory per query, no (H, W, ws^2) cost volume), and the (t, slot)
+    pairs are another scan — trace and compile time are O(1) in ws, wt and T.
     """
     if srch_vid is None:
         srch_vid = vid
@@ -177,33 +190,48 @@ def non_local_search(vid, flows, ws, wt, ps, k, stride0=1, srch_vid=None):
         comp = search_flow_compose(flows["fflow"], flows["bflow"], wt)
     else:
         comp = flows
+    S = 2 * wt
+    tj_tab, valid_tab = _window_tables(T, wt)
+    offs = _search_offsets(ws, vid.dtype)
+    nH = -(-H // stride0)
+    nW = -(-W // stride0)
+    warp_b = jax.vmap(flow_warp_reflect)
+    box_b = jax.vmap(partial(box_filter_sum, ps=ps))
 
-    def cost(v0, v1, fl):
-        vols, offs = jax.vmap(partial(_pair_cost_volume, ws=ws, ps=ps))(v0, v1, fl)
-        return vols, offs[0]  # offsets are batch-independent
+    def tm_step(_, xs):
+        t, tj, valid, fl = xs  # fl: (B, H, W, 2)
+        v0 = jnp.take(vid, t, axis=1)
+        v1 = jnp.take(srch_vid, tj, axis=1)
 
-    all_d, all_i = [], []
-    for t in range(T):
-        frames = time_window_frames(t, wt, T)
-        d_slots, i_slots = [], []
-        for m in range(2 * wt):
-            tj = frames[m] if m < len(frames) else t  # padded slot: self, inf dist
-            vols, offs = cost(vid[:, t], srch_vid[:, tj], comp[:, t, m])
-            vols = vols[:, ::stride0, ::stride0, :]  # (B, nH, nW, ws*ws)
-            if m >= len(frames):
-                vols = jnp.full_like(vols, jnp.inf)
-            negd, oidx = lax.top_k(-vols, k)
-            d_slots.append(-negd)
-            base = comp[:, t, m][:, ::stride0, ::stride0, :]  # (B,nH,nW,2)
-            off_sel = offs[oidx]  # (B, nH, nW, k, 2)
-            dt = jnp.full(off_sel.shape[:-1] + (1,), float(tj - t), vid.dtype)
-            i_slots.append(
-                jnp.concatenate([dt, base[..., None, :] + off_sel], axis=-1)
-            )
-        all_d.append(jnp.stack(d_slots, axis=3))  # (B, nH, nW, 2wt, k)
-        all_i.append(jnp.stack(i_slots, axis=3))
-    dists = jnp.stack(all_d, axis=1)
-    inds = jnp.stack(all_i, axis=1)
+        def off_step(carry, o):
+            d_best, o_best = carry
+            w = warp_b(v1, fl + o)
+            vol = box_b(jnp.sum((v0 - w) ** 2, axis=-1))
+            vol = vol[:, ::stride0, ::stride0]  # (B, nH, nW)
+            d_cat = jnp.concatenate([d_best, vol[..., None]], axis=-1)
+            o_new = jnp.broadcast_to(o, (B, nH, nW, 1, 2))
+            o_cat = jnp.concatenate([o_best, o_new], axis=-2)
+            negd, idx = lax.top_k(-d_cat, k)
+            o_sel = jnp.take_along_axis(o_cat, idx[..., None], axis=-2)
+            return (-negd, o_sel), None
+
+        init = (jnp.full((B, nH, nW, k), jnp.inf, vid.dtype),
+                jnp.zeros((B, nH, nW, k, 2), vid.dtype))
+        (d, o_sel), _ = lax.scan(off_step, init, offs)
+        d = jnp.where(valid, d, jnp.inf)
+        base = fl[:, ::stride0, ::stride0, :]
+        dt = jnp.broadcast_to((tj - t).astype(vid.dtype),
+                              (B, nH, nW, k))[..., None]
+        inds = jnp.concatenate([dt, base[..., None, :] + o_sel], axis=-1)
+        return 0, (d, inds)
+
+    t_arr = jnp.repeat(jnp.arange(T, dtype=jnp.int32), S)
+    tj_arr = tj_tab.reshape(T * S)
+    valid_arr = valid_tab.reshape(T * S)
+    comp_flat = jnp.moveaxis(comp, (1, 2), (0, 1)).reshape(T * S, B, H, W, 2)
+    _, (D, I) = lax.scan(tm_step, 0, (t_arr, tj_arr, valid_arr, comp_flat))
+    dists = jnp.moveaxis(D.reshape(T, S, B, nH, nW, k), (0, 1, 2), (1, 4, 0))
+    inds = jnp.moveaxis(I.reshape(T, S, B, nH, nW, k, 3), (0, 1, 2), (1, 4, 0))
     return dists, inds
 
 
@@ -215,34 +243,49 @@ def _upsample_inds(field, H, W, stride0):
     return up[:H, :W]
 
 
+def _flat_tmk(inds, wt, T):
+    """Flatten (t, slot, k) into one mapped axis: returns (t_arr, tj_arr,
+    ind_flat) with ind_flat (T*S*K, B, nH, nW, 3)."""
+    B, _, nH, nW, S, K, _ = inds.shape
+    tj_tab, _ = _window_tables(T, wt)
+    t_arr = jnp.repeat(jnp.arange(T, dtype=jnp.int32), S * K)
+    tj_arr = jnp.repeat(tj_tab.reshape(T * S), K)
+    ind_flat = jnp.moveaxis(inds, (1, 4, 5), (0, 1, 2)).reshape(
+        T * S * K, B, nH, nW, 3)
+    return t_arr, tj_arr, ind_flat
+
+
 def refine_search(vid0, vid1, inds, wt, ps, stride0=1):
     """Re-evaluate patch distances at given inds between vid0 and vid1
     (RefineSearch with wr=1, k=-1: no re-search, keep all offsets).
 
     vid0/vid1: (B, T, H, W, C); inds: (B, T, nH, nW, S, k, 3) from
     non_local_search. Returns dists (B, T, nH, nW, S, k).
+
+    Scaling: one ``lax.map`` over the flattened (t, slot, k) axis — trace and
+    compile are O(1) in T, S and k.
     """
     B, T, H, W, C = vid0.shape
-    S, K = inds.shape[4], inds.shape[5]
-    out = jnp.zeros((B, T, inds.shape[2], inds.shape[3], S, K), vid0.dtype)
-    for t in range(T):
-        frames = time_window_frames(t, wt, T)
-        for m in range(S):
-            tj = frames[m] if m < len(frames) else t
-            for kk in range(K):
-                ind = inds[:, t, :, :, m, kk, :]  # (B, nH, nW, 3)
-                flow = jax.vmap(lambda f: _upsample_inds(f, H, W, stride0))(
-                    ind[..., 1:3]
-                )
+    _, _, nH, nW, S, K, _ = inds.shape
+    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T)
 
-                def pair(v0t, v1j, fl):
-                    w = flow_warp_reflect(v1j, fl)
-                    d2 = jnp.sum((v0t - w) ** 2, axis=-1)
-                    return box_filter_sum(d2, ps)[::stride0, ::stride0]
+    def body(xs):
+        t, tj, ind = xs
+        v0 = jnp.take(vid0, t, axis=1)
+        v1 = jnp.take(vid1, tj, axis=1)
+        flow = jax.vmap(lambda f: _upsample_inds(f, H, W, stride0))(
+            ind[..., 1:3])
 
-                d = jax.vmap(pair)(vid0[:, t], vid1[:, tj], flow)
-                out = out.at[:, t, :, :, m, kk].set(d)
-    return out
+        def pair(v0t, v1j, fl):
+            w = flow_warp_reflect(v1j, fl)
+            d2 = jnp.sum((v0t - w) ** 2, axis=-1)
+            return box_filter_sum(d2, ps)[::stride0, ::stride0]
+
+        return jax.vmap(pair)(v0, v1, flow)  # (B, nH, nW)
+
+    D = lax.map(body, (t_arr, tj_arr, ind_flat))  # (T*S*K, B, nH, nW)
+    return jnp.moveaxis(D.reshape(T, S, K, B, nH, nW), (0, 1, 2, 3),
+                        (1, 4, 5, 0))
 
 
 def paired_refine(src, tgt, flow, ps, stride0=1):
@@ -267,22 +310,24 @@ def non_local_stack(vid, inds, wt, stride0=1):
     vid: (B, T, H, W, C); inds: (B, T, nH, nW, S, k, 3).
     Returns (B, S*k, T, H, W, C): entry (m, kk) is frame tj(m) of the window
     warped onto frame t by the (kk)-th offset field.
+
+    Scaling: one ``lax.map`` over the flattened (t, slot, k) axis.
     """
     B, T, H, W, C = vid.shape
     S, K = inds.shape[4], inds.shape[5]
-    stacks = []
-    for m in range(S):
-        for kk in range(K):
-            per_t = []
-            for t in range(T):
-                frames = time_window_frames(t, wt, T)
-                tj = frames[m] if m < len(frames) else t
-                flow = jax.vmap(
-                    lambda f: _upsample_inds(f, H, W, stride0)
-                )(inds[:, t, :, :, m, kk, 1:3])
-                per_t.append(jax.vmap(flow_warp_reflect)(vid[:, tj], flow))
-            stacks.append(jnp.stack(per_t, axis=1))
-    return jnp.stack(stacks, axis=1)
+    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T)
+
+    def body(xs):
+        t, tj, ind = xs
+        flow = jax.vmap(lambda f: _upsample_inds(f, H, W, stride0))(
+            ind[..., 1:3])
+        return jax.vmap(flow_warp_reflect)(jnp.take(vid, tj, axis=1), flow)
+
+    Wrp = lax.map(body, (t_arr, tj_arr, ind_flat))  # (T*S*K, B, H, W, C)
+    # (T, S, K, B, H, W, C) -> (B, S, K, T, H, W, C) -> (B, S*K, T, H, W, C)
+    out = jnp.moveaxis(Wrp.reshape(T, S, K, B, H, W, C), (0, 1, 2, 3),
+                       (3, 1, 2, 0))
+    return out.reshape(B, S * K, T, H, W, C)
 
 
 def refine_flow_search(src, tgt, flow, ws, ps, stride0=1):
@@ -292,13 +337,24 @@ def refine_flow_search(src, tgt, flow, ws, ps, stride0=1):
 
     src/tgt: (H, W, C); flow: (H, W, 2). Returns (dists (H, W, 1) upsampled,
     refined flow (H, W, 2)).
+
+    Streaming argmin over the ws*ws window (lax.scan): O(1) trace in ws.
     """
     H, W, C = src.shape
-    vols, offs = _pair_cost_volume(src, tgt, flow, ws, ps)
-    best = jnp.argmin(vols, axis=-1)  # (H, W)
-    dists = jnp.take_along_axis(vols, best[..., None], axis=-1)
-    refined = flow + offs[best]
-    return dists, refined
+    offs = _search_offsets(ws, flow.dtype)
+
+    def off_step(carry, o):
+        d_best, o_best = carry
+        w = flow_warp_reflect(tgt, flow + o)
+        d = box_filter_sum(jnp.sum((src - w) ** 2, axis=-1), ps)
+        better = d < d_best
+        return (jnp.where(better, d, d_best),
+                jnp.where(better[..., None], o, o_best)), None
+
+    init = (jnp.full((H, W), jnp.inf, src.dtype),
+            jnp.zeros((H, W, 2), flow.dtype))
+    (dists, o_best), _ = lax.scan(off_step, init, offs)
+    return dists[..., None], flow + o_best
 
 
 def fold_patches(patches, shape, stride0=1):
@@ -330,30 +386,35 @@ def fold_patches(patches, shape, stride0=1):
 def unfold_k(vid, inds, ps, wt, stride0=1):
     """Extract ps x ps patches at the search offsets (stnls.UnfoldK,
     stnls_loss.py:496): returns (B, T, nH, nW, S, k, ps, ps, C) patches of
-    ``vid`` at the matched positions (reflect bounds)."""
+    ``vid`` at the matched positions (reflect bounds).
+
+    Scaling: one ``lax.map`` over the flattened (t, slot, k) axis; all ps*ps
+    patch pixels of a step sample in ONE generalized bilinear gather — trace
+    and compile are O(1) in T, S, k and ps.
+    """
     B, T, H, W, C = vid.shape
-    S, K = inds.shape[4], inds.shape[5]
+    _, _, nH, nW, S, K, _ = inds.shape
     r = ps // 2
-    out = []
-    for dy in range(-r, r + 1):
-        row = []
-        for dx in range(-r, r + 1):
-            shifted = jnp.zeros((B, T, inds.shape[2], inds.shape[3], S, K, C),
-                                vid.dtype)
-            for t in range(T):
-                frames = time_window_frames(t, wt, T)
-                for m in range(S):
-                    tj = frames[m] if m < len(frames) else t
-                    for kk in range(K):
-                        flow = jax.vmap(
-                            lambda f: _upsample_inds(f, H, W, stride0)
-                        )(inds[:, t, :, :, m, kk, 1:3])
-                        off = jnp.asarray([dx, dy], flow.dtype)
-                        w = jax.vmap(flow_warp_reflect)(vid[:, tj], flow + off)
-                        shifted = shifted.at[:, t, :, :, m, kk].set(
-                            w[:, ::stride0, ::stride0]
-                        )
-            row.append(shifted)
-        out.append(jnp.stack(row, axis=-2))
-    patches = jnp.stack(out, axis=-3)  # (..., ps(dy), ps(dx), C)
-    return patches
+    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T)
+    dys, dxs = jnp.meshgrid(jnp.arange(-r, r + 1, dtype=vid.dtype),
+                            jnp.arange(-r, r + 1, dtype=vid.dtype),
+                            indexing="ij")  # (ps, ps), patch dims (dy, dx)
+    qx = (jnp.arange(nW) * stride0).astype(vid.dtype)
+    qy = (jnp.arange(nH) * stride0).astype(vid.dtype)
+
+    def body(xs):
+        t, tj, ind = xs
+        frame = jnp.take(vid, tj, axis=1)  # (B, H, W, C)
+        sx = (qx[None, :, None, None] + ind[..., 1][..., None, None]
+              + dxs[None, None])  # (B via ind, nH? ...)
+        sy = (qy[:, None, None, None] + ind[..., 2][..., None, None]
+              + dys[None, None])
+
+        def sample(fr, sx1, sy1):
+            return bilinear_sample_reflect(fr, sx1, sy1)
+
+        return jax.vmap(sample)(frame, sx, sy)  # (B, nH, nW, ps, ps, C)
+
+    P = lax.map(body, (t_arr, tj_arr, ind_flat))
+    return jnp.moveaxis(P.reshape(T, S, K, B, nH, nW, ps, ps, C),
+                        (0, 1, 2, 3), (1, 4, 5, 0))

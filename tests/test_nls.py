@@ -153,3 +153,36 @@ def test_fold_patches_reconstructs():
     # interior pixels: average of the 9 patches containing them == pixel value
     np.testing.assert_allclose(recon[:, :, 2:-2, 2:-2], np.asarray(vid)[:, :, 2:-2, 2:-2],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_nls_scales_to_realistic_shapes():
+    """Regression for trace-time scaling (round-1 weakness): reference-scale
+    settings (ws=15, wt=3, T=10, k=5, 256^2) must trace+compile in seconds.
+    The scan/map formulation is O(1) trace size in ws/wt/T/k/ps; the old
+    Python-unrolled form produced multi-thousand-op traces here."""
+    import time
+    from functools import partial
+
+    from frame2frame_tpu.ops.nls import (
+        non_local_search,
+        refine_search,
+        unfold_k,
+    )
+
+    B, T, H, W, C = 1, 10, 256, 256, 1
+    wt, ws, ps, k, stride0 = 3, 15, 7, 5, 8
+    vid = jax.ShapeDtypeStruct((B, T, H, W, C), jnp.float32)
+    comp = jax.ShapeDtypeStruct((B, T, 2 * wt, H, W, 2), jnp.float32)
+    nH = -(-H // stride0)
+    inds = jax.ShapeDtypeStruct((B, T, nH, nH, 2 * wt, k, 3), jnp.float32)
+
+    t0 = time.time()
+    nls = jax.jit(partial(non_local_search, ws=ws, wt=wt, ps=ps, k=k,
+                          stride0=stride0)).lower(vid, comp).compile()
+    rs = jax.jit(partial(refine_search, wt=wt, ps=ps,
+                         stride0=stride0)).lower(vid, vid, inds).compile()
+    uk = jax.jit(partial(unfold_k, ps=ps, wt=wt,
+                         stride0=stride0)).lower(vid, inds).compile()
+    dt = time.time() - t0
+    assert dt < 120.0, f"trace+compile took {dt:.1f}s"
+    del nls, rs, uk
