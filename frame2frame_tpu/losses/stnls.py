@@ -125,10 +125,27 @@ class DnlsLoss:
 
     # -- criteria --
 
-    def __call__(self, noisy, clean, deno, flows, curr_epoch, key=None):
-        return self.compute_loss(noisy, clean, deno, flows, curr_epoch, key)
+    def __call__(self, noisy, clean, deno, flows, curr_epoch, key=None,
+                 tables=None, frame_weight=None):
+        return self.compute_loss(noisy, clean, deno, flows, curr_epoch, key,
+                                 tables=tables, frame_weight=frame_weight)
 
-    def compute_loss(self, noisy, clean, deno, flows, curr_epoch, key=None):
+    @staticmethod
+    def _reduce(terms, frame_weight, count_scale=1.0):
+        """mean(terms) when unweighted; with ``frame_weight`` (T,), the
+        (weighted sum, weighted element count) pair whose cross-shard ratio
+        equals the global mean — used by time-sharded execution
+        (parallel/shard.py), where only a shard's own frames carry weight."""
+        if frame_weight is None:
+            return jnp.mean(terms) / count_scale
+        w = frame_weight.reshape((1, -1) + (1,) * (terms.ndim - 2))
+        per_frame = terms.size / terms.shape[1]
+        wsum = jnp.sum(terms * w)
+        wcount = jnp.sum(frame_weight) * per_frame * count_scale
+        return wsum, wcount
+
+    def compute_loss(self, noisy, clean, deno, flows, curr_epoch, key=None,
+                     tables=None, frame_weight=None):
         F = deno.shape[-1]
         wt, stride0 = self.wt, self.stride0
         ws = self.get_ws(curr_epoch)
@@ -141,59 +158,74 @@ class DnlsLoss:
             assert self.dist_mask > 0.0
             dists0, inds = nls.non_local_search(
                 jax.lax.stop_gradient(srch), flows, ws=ws, wt=wt, ps=ps,
-                k=self.k, stride0=stride0,
+                k=self.k, stride0=stride0, tables=tables,
             )
             dists0 = jax.lax.stop_gradient(dists0) / (ps**2 * F)
             mask = (dists0 < self.dist_mask).astype(deno.dtype)
             dists = nls.refine_search(deno, noisy, jax.lax.stop_gradient(inds),
-                                      wt=wt, ps=ps_d, stride0=stride0)
-            return jnp.mean(mask * dists)
+                                      wt=wt, ps=ps_d, stride0=stride0,
+                                      tables=tables)
+            return self._reduce(mask * dists, frame_weight)
 
         if self.dist_crit == "v0_sr":
             assert self.dist_mask > 0.0
-            comp = nls.search_flow_compose(flows["fflow"], flows["bflow"], wt)
+            comp = nls.search_flow_compose(flows["fflow"], flows["bflow"], wt,
+                                           tables=tables)
             comp = jnp.round(comp)
             dists0, inds = nls.non_local_search(
                 jax.lax.stop_gradient(srch), comp, ws=ws, wt=wt, ps=ps,
-                k=self.k, stride0=stride0,
+                k=self.k, stride0=stride0, tables=tables,
             )
             inds = jnp.round(jax.lax.stop_gradient(inds))
             dists = nls.refine_search(deno, noisy, inds, wt=wt, ps=1,
-                                      stride0=stride0)
-            return jnp.mean(jnp.sqrt(dists + 1e-6))
+                                      stride0=stride0, tables=tables)
+            return self._reduce(jnp.sqrt(dists + 1e-6), frame_weight)
 
         if self.dist_crit in ("ssims", "v1"):
             assert stride0 == 1, "ssims criterion requires stride0==1"
             dists0, inds = nls.non_local_search(
                 jax.lax.stop_gradient(srch), flows, ws=ws, wt=wt, ps=ps,
-                k=1, stride0=1,
+                k=1, stride0=1, tables=tables,
             )
-            stack = nls.non_local_stack(noisy, jax.lax.stop_gradient(inds), wt)
+            stack = nls.non_local_stack(noisy, jax.lax.stop_gradient(inds), wt,
+                                        tables=tables)
             K = stack.shape[1]
-            loss = 0.0
             B, T = deno.shape[0], deno.shape[1]
             deno_f = deno.reshape((B * T,) + deno.shape[2:])
+            if frame_weight is None:
+                loss = 0.0
+                for ki in range(K):
+                    st = stack[:, ki].reshape((B * T,) + deno.shape[2:])
+                    loss = loss + jnp.mean((deno_f - st) ** 2)
+                    loss = loss - ssim_fn(deno_f, st, window_size=11)
+                return loss
+            # weighted: per-image terms so only a shard's own frames count
+            wsum = 0.0
+            wbt = jnp.tile(frame_weight, B)  # (B*T,)
             for ki in range(K):
                 st = stack[:, ki].reshape((B * T,) + deno.shape[2:])
-                loss = loss + jnp.mean((deno_f - st) ** 2)
-                loss = loss - ssim_fn(deno_f, st, window_size=11)
-            return loss
+                mse_img = jnp.mean((deno_f - st) ** 2, axis=(1, 2, 3))
+                ssim_img = ssim_fn(deno_f, st, window_size=11, reduce="image")
+                wsum = wsum + jnp.sum(wbt * (mse_img - ssim_img))
+            wcount = B * jnp.sum(frame_weight)
+            return wsum, wcount
 
         if self.dist_crit == "global_smoothing":
             dists0, inds = nls.non_local_search(
                 jax.lax.stop_gradient(srch), flows, ws=ws, wt=wt, ps=ps,
-                k=self.k, stride0=stride0,
+                k=self.k, stride0=stride0, tables=tables,
             )
             inds = self.global_smoothing(jax.lax.stop_gradient(inds))
             d_self = nls.refine_search(jax.lax.stop_gradient(deno),
                                        jax.lax.stop_gradient(deno), inds,
-                                       wt=wt, ps=ps_d, stride0=stride0)
+                                       wt=wt, ps=ps_d, stride0=stride0,
+                                       tables=tables)
             weight = (d_self / (ps**2 * F) < self.dist_mask).astype(deno.dtype)
             dists = nls.refine_search(deno, noisy, inds, wt=wt, ps=ps_d,
-                                      stride0=stride0)
+                                      stride0=stride0, tables=tables)
             dists = dists[:, :, 5:-5, 5:-5]
             weight = weight[:, :, 5:-5, 5:-5]
-            return jnp.mean(weight * dists) / F
+            return self._reduce(weight * dists, frame_weight, count_scale=F)
 
         raise ValueError(f"Unknown criterion [{self.dist_crit}]")
 

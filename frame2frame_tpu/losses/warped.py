@@ -78,41 +78,60 @@ class WarpedLoss:
         dists = dists / (self.ps**2 * F)
         return dists, inds
 
-    def run_pairs(self, deno, noisy, flows, step=0):
+    def run_pairs(self, deno, noisy, flows, step=0, tables=None,
+                  frame_weight=None):
         """Accumulate the loss over all frame pairs in the +/-wt window
         (warped_loss.py:271-317).
 
         deno/noisy: (B, T, H, W, C); flows: Config(fflow, bflow) of
-        (B, T, H, W, 2). Returns scalar loss.
+        (B, T, H, W, 2). Returns scalar loss (mean over pairs).
+
+        ``tables``: optional (tj, valid) (T, 2*wt) window override (entries
+        may be traced) for time-sharded halo blocks; ``frame_weight`` (T,):
+        return (weighted sum of pair means, weighted pair count) instead, so
+        shards contribute only their own frames (parallel/shard.py).
         """
         B, T, H, W, C = deno.shape
         wt = self.wt
-        W_t = 2 * wt + 1
-        comp = search_flow_compose(flows.fflow, flows.bflow, wt)
+        S = 2 * wt
+        comp = search_flow_compose(flows.fflow, flows.bflow, wt, tables=tables)
         # comp: (B, T, 2*wt, H, W, 2); slot m: flow from t to the m-th frame of
         # the (ref-removed) temporal window of t
+        if tables is None:
+            tj_tab = jnp.asarray(
+                [time_window_inds(ti, wt, T)[1:] for ti in range(T)])
+        else:
+            tj_tab = tables[0]
 
         loss = 0.0
         npairs = 0
         for ti in range(T):
-            tgrid = time_window_inds(ti, wt, T)
-            for m in range(1, W_t):
-                tj = tgrid[m]
-                flow = comp[:, ti, m - 1]
+            per_frame = 0.0
+            for m in range(S):
+                tj = tj_tab[ti, m]
+                flow = comp[:, ti, m]
+                deno_j = jnp.take(deno, tj, axis=1)
+                noisy_j = jnp.take(noisy, tj, axis=1)
                 dists, flow = jax.vmap(
                     lambda d, n, f: self.refine_flow(d, n, f)
-                )(deno[:, ti], deno[:, tj], flow)
+                )(deno[:, ti], deno_j, flow)
                 mask = (dists < self.dist_mask).astype(deno.dtype)
                 if not self.use_stnls:
                     mask = None
-                loss = loss + jnp.mean(
+                per_frame = per_frame + jnp.mean(
                     jax.vmap(partial(self.pair_loss, step=step))(
-                        deno[:, ti], noisy[:, tj], flow,
+                        deno[:, ti], noisy_j, flow,
                         in_mask=mask if mask is not None else None,
                     )
                 )
                 npairs += 1
-        return loss / npairs
+            if frame_weight is None:
+                loss = loss + per_frame
+            else:
+                loss = loss + frame_weight[ti] * per_frame
+        if frame_weight is None:
+            return loss / npairs
+        return loss, jnp.sum(frame_weight) * S
 
 
 def time_window_inds(ti, wt, T):

@@ -110,35 +110,65 @@ def time_window_frames(ti, wt, T):
     return [t for t in range(lo, hi) if t != ti]
 
 
-def search_flow_compose(fflow, bflow, wt):
+def compose_flow_pyramids(fflow, bflow, wt):
+    """Cumulative composed flows: returns (comp_f, comp_b), each
+    (wt, B, T, H, W, 2), where comp_f[d-1, :, t] maps frame t to frame
+    t + d (and comp_b to t - d). Multi-step flows chain by warping the next
+    hop's flow by the accumulated flow (stnls.nn.search_flow equivalent).
+
+    Entries whose target would leave [0, T) are never consumed by valid
+    window slots; they compose with edge-clamped hops and are harmless.
+    """
+    B, T, H, W, _ = fflow.shape
+    warp_flow = jax.vmap(jax.vmap(flow_warp_reflect))  # over (B, T)
+
+    # unrolled cumulative build (wt is small and static)
+    def build(flows, sign):
+        accs = [flows]
+        for d in range(1, wt):
+            idx = jnp.clip(jnp.arange(T) + sign * d, 0, T - 1)
+            nxt = warp_flow(jnp.take(flows, idx, axis=1), accs[-1])
+            accs.append(accs[-1] + nxt)
+        return jnp.stack(accs, axis=0)  # (wt, B, T, H, W, 2)
+
+    return build(fflow, +1), build(bflow, -1)
+
+
+def search_flow_compose(fflow, bflow, wt, tables=None):
     """Composed flows from every frame to every frame of its +/-wt window.
 
     fflow/bflow: (B, T, H, W, 2); fflow[t] maps t -> t+1, bflow[t] maps
     t -> t-1. Returns (B, T, 2*wt, H, W, 2) where slot m is the flow from t to
-    ``time_window_frames(t, wt, T)[m]``. Multi-step flows chain by warping the
-    next hop's flow by the accumulated flow (stnls.nn.search_flow equivalent).
+    ``time_window_frames(t, wt, T)[m]``.
+
+    ``tables``: optional (tj, valid) arrays of shape (T, 2*wt) overriding the
+    default window layout — used by time-sharded execution, where the window
+    targets come from GLOBAL frame indices translated into the local halo
+    block (parallel/shard.py) and may be traced values.
     """
     B, T, H, W, _ = fflow.shape
-    warp_flow = jax.vmap(flow_warp_reflect)  # over batch
+    S = 2 * wt
+    if tables is None:
+        tj_tab, valid_tab = _window_tables(T, wt)
+    else:
+        tj_tab, valid_tab = tables
+    comp_f, comp_b = compose_flow_pyramids(fflow, bflow, wt)
+    # stack [backward wt..1, zero, forward 1..wt] so slot dt in [-wt, wt]
+    # selects pyramid level |dt| of the right direction; dt = 0 -> zeros
+    zero = jnp.zeros_like(comp_f[:1])
+    stackfb = jnp.concatenate([comp_b[::-1], zero, comp_f], axis=0)
+    dt = tj_tab - jnp.arange(T, dtype=tj_tab.dtype)[:, None]  # (T, S)
+    sel = jnp.clip(dt + wt, 0, 2 * wt)  # index into stackfb's first axis
 
-    def chain(t, tj):
-        step = 1 if tj > t else -1
-        flows = fflow if step == 1 else bflow
-        acc = flows[:, t]
-        cur = t + step
-        while cur != tj:
-            nxt = warp_flow(flows[:, cur], acc)
-            acc = acc + nxt
-            cur += step
-        return acc
+    # gather: out[b, t, m] = stackfb[sel[t, m], b, t]
+    def pick_tm(t, m):
+        return stackfb[sel[t, m], :, t]
 
-    out = []
-    for t in range(T):
-        slots = [chain(t, tj) for tj in time_window_frames(t, wt, T)]
-        while len(slots) < 2 * wt:  # short sequences: pad with zeros
-            slots.append(jnp.zeros_like(fflow[:, 0]))
-        out.append(jnp.stack(slots, axis=1))
-    return jnp.stack(out, axis=1)
+    out = jax.vmap(lambda t: jax.vmap(lambda m: pick_tm(t, m))(
+        jnp.arange(S)))(jnp.arange(T))  # (T, S, B, H, W, 2)
+    out = jnp.moveaxis(out, 2, 0)  # (B, T, S, H, W, 2)
+    mask = valid_tab.astype(out.dtype)[None, :, :, None, None, None]
+    return out * mask
 
 
 def _window_tables(T, wt):
@@ -167,7 +197,8 @@ def _search_offsets(ws, dtype=jnp.float32):
     return jnp.stack([dxs, dys], axis=-1).reshape(ws * ws, 2).astype(dtype)
 
 
-def non_local_search(vid, flows, ws, wt, ps, k, stride0=1, srch_vid=None):
+def non_local_search(vid, flows, ws, wt, ps, k, stride0=1, srch_vid=None,
+                     tables=None):
     """Top-k non-local search of ``vid`` against itself (or ``srch_vid``)
     guided by flows.
 
@@ -179,6 +210,9 @@ def non_local_search(vid, flows, ws, wt, ps, k, stride0=1, srch_vid=None):
     Top-k is per window frame (stnls topk_mode="each"); the reference frame is
     excluded (self_action="remove_ref_frame").
 
+    ``tables``: optional (tj, valid) (T, 2*wt) window override (may be traced)
+    for time-sharded halo blocks (parallel/shard.py).
+
     Scaling: the ws*ws window is a ``lax.scan`` carrying a streaming top-k
     (O(k) memory per query, no (H, W, ws^2) cost volume), and the (t, slot)
     pairs are another scan — trace and compile time are O(1) in ws, wt and T.
@@ -187,11 +221,12 @@ def non_local_search(vid, flows, ws, wt, ps, k, stride0=1, srch_vid=None):
         srch_vid = vid
     B, T, H, W, C = vid.shape
     if hasattr(flows, "fflow") or (isinstance(flows, dict) and "fflow" in flows):
-        comp = search_flow_compose(flows["fflow"], flows["bflow"], wt)
+        comp = search_flow_compose(flows["fflow"], flows["bflow"], wt,
+                                   tables=tables)
     else:
         comp = flows
     S = 2 * wt
-    tj_tab, valid_tab = _window_tables(T, wt)
+    tj_tab, valid_tab = _window_tables(T, wt) if tables is None else tables
     offs = _search_offsets(ws, vid.dtype)
     nH = -(-H // stride0)
     nW = -(-W // stride0)
@@ -243,11 +278,11 @@ def _upsample_inds(field, H, W, stride0):
     return up[:H, :W]
 
 
-def _flat_tmk(inds, wt, T):
+def _flat_tmk(inds, wt, T, tables=None):
     """Flatten (t, slot, k) into one mapped axis: returns (t_arr, tj_arr,
     ind_flat) with ind_flat (T*S*K, B, nH, nW, 3)."""
     B, _, nH, nW, S, K, _ = inds.shape
-    tj_tab, _ = _window_tables(T, wt)
+    tj_tab = (_window_tables(T, wt) if tables is None else tables)[0]
     t_arr = jnp.repeat(jnp.arange(T, dtype=jnp.int32), S * K)
     tj_arr = jnp.repeat(tj_tab.reshape(T * S), K)
     ind_flat = jnp.moveaxis(inds, (1, 4, 5), (0, 1, 2)).reshape(
@@ -255,7 +290,7 @@ def _flat_tmk(inds, wt, T):
     return t_arr, tj_arr, ind_flat
 
 
-def refine_search(vid0, vid1, inds, wt, ps, stride0=1):
+def refine_search(vid0, vid1, inds, wt, ps, stride0=1, tables=None):
     """Re-evaluate patch distances at given inds between vid0 and vid1
     (RefineSearch with wr=1, k=-1: no re-search, keep all offsets).
 
@@ -267,7 +302,7 @@ def refine_search(vid0, vid1, inds, wt, ps, stride0=1):
     """
     B, T, H, W, C = vid0.shape
     _, _, nH, nW, S, K, _ = inds.shape
-    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T)
+    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T, tables)
 
     def body(xs):
         t, tj, ind = xs
@@ -303,7 +338,7 @@ def paired_refine(src, tgt, flow, ps, stride0=1):
     return box_filter_sum(d2, ps)[::stride0, ::stride0]
 
 
-def non_local_stack(vid, inds, wt, stride0=1):
+def non_local_stack(vid, inds, wt, stride0=1, tables=None):
     """Stack aligned frames at the search offsets (stnls.agg.NonLocalStack,
     stnls_loss.py:79,390).
 
@@ -315,7 +350,7 @@ def non_local_stack(vid, inds, wt, stride0=1):
     """
     B, T, H, W, C = vid.shape
     S, K = inds.shape[4], inds.shape[5]
-    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T)
+    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T, tables)
 
     def body(xs):
         t, tj, ind = xs
@@ -383,7 +418,7 @@ def fold_patches(patches, shape, stride0=1):
     return vid[:, :, r : r + H, r : r + W, :], wvid[:, :, r : r + H, r : r + W, :]
 
 
-def unfold_k(vid, inds, ps, wt, stride0=1):
+def unfold_k(vid, inds, ps, wt, stride0=1, tables=None):
     """Extract ps x ps patches at the search offsets (stnls.UnfoldK,
     stnls_loss.py:496): returns (B, T, nH, nW, S, k, ps, ps, C) patches of
     ``vid`` at the matched positions (reflect bounds).
@@ -395,7 +430,7 @@ def unfold_k(vid, inds, ps, wt, stride0=1):
     B, T, H, W, C = vid.shape
     _, _, nH, nW, S, K, _ = inds.shape
     r = ps // 2
-    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T)
+    t_arr, tj_arr, ind_flat = _flat_tmk(inds, wt, T, tables)
     dys, dxs = jnp.meshgrid(jnp.arange(-r, r + 1, dtype=vid.dtype),
                             jnp.arange(-r, r + 1, dtype=vid.dtype),
                             indexing="ij")  # (ps, ps), patch dims (dy, dx)

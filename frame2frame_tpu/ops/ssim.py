@@ -38,8 +38,11 @@ def _filter(img, win):
     return x.reshape(B, C, H, W).transpose(0, 2, 3, 1)
 
 
-def ssim(img1, img2, window_size=11, sigma=1.5, data_range=1.0):
-    """Mean SSIM over a batch; img1/img2: (B, H, W, C). Differentiable."""
+def ssim(img1, img2, window_size=11, sigma=1.5, data_range=1.0,
+         reduce="mean"):
+    """Mean SSIM over a batch; img1/img2: (B, H, W, C). Differentiable.
+    ``reduce="image"`` returns per-image means (B,) instead of the scalar
+    (equal per-image pixel counts make their mean equal the scalar)."""
     win = _gaussian_window(window_size, sigma)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
@@ -52,4 +55,6 @@ def ssim(img1, img2, window_size=11, sigma=1.5, data_range=1.0):
     smap = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
     )
+    if reduce == "image":
+        return jnp.mean(smap, axis=(1, 2, 3))
     return jnp.mean(smap)

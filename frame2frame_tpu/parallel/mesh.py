@@ -38,3 +38,45 @@ def replicated(mesh):
 
 def shard_video(mesh, vid):
     return jax.device_put(vid, video_sharding(mesh))
+
+
+def data_parallel_mesh(batch_size, devices=None):
+    """Largest usable (data,)-only mesh for a given batch size, or None.
+
+    Used by the offline trainer (train/trainer.py) to shard batches over all
+    devices: with the batch axis sharded and parameters replicated, XLA's
+    SPMD partitioner inserts the gradient/BN-stat reductions automatically,
+    so the step is numerically the single-device step (sync-BN semantics) —
+    the TPU-native replacement for the reference's DDP launch
+    (lightning.py:435,532 via dev_basics.trte)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n < 2 or batch_size < 2:
+        return None
+    n_data = max(d for d in range(1, min(n, batch_size) + 1)
+                 if batch_size % d == 0)
+    if n_data < 2:
+        return None
+    return make_mesh(n_data=n_data, n_time=1, devices=devices[:n_data])
+
+
+def shard_batch(mesh, batch):
+    """Shard a Config/dict of (B, ...) arrays over the data axis; scalars and
+    non-divisible arrays pass through replicated."""
+    n_data = mesh.shape["data"]
+    spec = NamedSharding(mesh, P("data"))
+    out = {}
+    for k, v in dict(batch).items():
+        arr = np.asarray(v) if not hasattr(v, "shape") else v
+        if getattr(arr, "ndim", 0) >= 1 and arr.shape[0] % n_data == 0:
+            out[k] = jax.device_put(jax.numpy.asarray(arr), spec)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate_tree(mesh, tree):
+    """Replicate a pytree (params/opt state) over the mesh."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep)
+                        if hasattr(x, "shape") else x, tree)

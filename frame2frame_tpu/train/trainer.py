@@ -80,6 +80,23 @@ def run(cfg):
     state = TrainState.create(ms.model, ms.variables, tx,
                               residual=optional(cfg, "residual", True))
 
+    # data parallelism over all available devices: batch sharded, params
+    # replicated; XLA SPMD inserts grad/BN reductions (sync-BN), so multi-
+    # device steps match single-device math (reference analogue: DDP via
+    # dev_basics.trte, lightning.py:435,532)
+    mesh = None
+    if optional(cfg, "data_parallel", True):
+        from ..parallel.mesh import data_parallel_mesh, replicate_tree
+
+        bs = optional(cfg, "batch_size", 1)
+        mesh = data_parallel_mesh(bs)
+        if mesh is not None:
+            state = state.replace(
+                params=replicate_tree(mesh, state.params),
+                batch_stats=replicate_tree(mesh, state.batch_stats),
+                opt_state=replicate_tree(mesh, state.opt_state),
+            )
+
     ckpt_dir = Path(optional(cfg, "checkpoint_dir", "./output/checkpoints"))
     uuid = optional(cfg, "uuid", "default")
     limit = optional(cfg, "limit_train_batches", -1)
@@ -93,6 +110,10 @@ def run(cfg):
             if limit > 0 and i >= limit:
                 break
             key, sub = jax.random.split(key)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(mesh, batch)
             state, metrics = module.training_step(state, batch, epoch, sub)
             metrics["lr"] = float(sched(state.step - 1))
             metrics["epoch"] = epoch

@@ -108,3 +108,159 @@ def test_sharded_f2f_local_bn_close(setup):
 
     ref_loss = float(ref_loss_fn(params))
     assert loss == pytest.approx(ref_loss, rel=0.1)
+
+
+@pytest.mark.parametrize("n_data,n_time", [(2, 4), (4, 2)])
+def test_sharded_warped_window_step_parity(n_data, n_time):
+    """Time-sharded WarpedLoss.run_pairs (+/-2wt halo, global window tables)
+    matches the unsharded loss and gradient exactly (VERDICT round-1 item 6).
+    Reference window machinery: warped_loss.py:287-303."""
+    from frame2frame_tpu.config import Config
+    from frame2frame_tpu.losses.warped import WarpedLoss
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.parallel.mesh import make_mesh
+    from frame2frame_tpu.parallel.shard import make_sharded_window_step
+    from frame2frame_tpu.train.online import torch_adam
+
+    wt = 1
+    B, T, H, W, C = n_data, 4 * n_time, 16, 16, 1
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.random((B, T, H, W, C)), jnp.float32)
+    clean = jnp.asarray(rng.random((B, T, H, W, C)), jnp.float32)
+    fflow = jnp.asarray(0.5 * rng.standard_normal((B, T, H, W, 2)), jnp.float32)
+    bflow = jnp.asarray(0.5 * rng.standard_normal((B, T, H, W, 2)), jnp.float32)
+
+    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                  num_layers=4, residual=True, spatial=(H, W))
+    params, bs = variables["params"], variables["batch_stats"]
+    tx = torch_adam(1e-3)
+    opt = tx.init(params)
+    loss_obj = WarpedLoss(wt=wt, dist_crit="l2")
+
+    # unsharded oracle
+    def ref_loss(p):
+        deno = model.apply({"params": p, "batch_stats": bs}, noisy, train=False)
+        return loss_obj.run_pairs(deno, noisy, Config(fflow=fflow, bflow=bflow))
+
+    ref_v, ref_g = jax.value_and_grad(ref_loss)(params)
+
+    mesh = make_mesh(n_data=n_data, n_time=n_time)
+    step = make_sharded_window_step(model, mesh, tx, loss_obj, kind="warped",
+                                    wt=wt, train_bn=False)
+    p2, bs2, opt2, loss_v = step(params, bs, opt, noisy, clean, fflow, bflow)
+    assert np.allclose(float(loss_v), float(ref_v), rtol=1e-5), (
+        float(loss_v), float(ref_v))
+
+    # parameter update parity: one unsharded Adam step
+    upd, _ = tx.update(ref_g, tx.init(params), params)
+    import optax
+    p_ref = optax.apply_updates(params, upd)
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_data,n_time", [(2, 4), (4, 2)])
+def test_sharded_stnls_window_step_parity(n_data, n_time):
+    """Time-sharded DnlsLoss (v0 criterion) matches the unsharded loss and
+    updated params exactly. Reference: stnls_loss.py:319-333,340-346."""
+    from frame2frame_tpu.losses.stnls import DnlsLoss
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.parallel.mesh import make_mesh
+    from frame2frame_tpu.parallel.shard import make_sharded_window_step
+    from frame2frame_tpu.train.online import torch_adam
+
+    wt = 1
+    B, T, H, W, C = n_data, 4 * n_time, 16, 16, 1
+    rng = np.random.default_rng(1)
+    noisy = jnp.asarray(rng.random((B, T, H, W, C)), jnp.float32)
+    clean = jnp.asarray(rng.random((B, T, H, W, C)), jnp.float32)
+    fflow = jnp.asarray(0.5 * rng.standard_normal((B, T, H, W, 2)), jnp.float32)
+    bflow = jnp.asarray(0.5 * rng.standard_normal((B, T, H, W, 2)), jnp.float32)
+
+    model, variables = init_dncnn(jax.random.PRNGKey(1), channels=1,
+                                  num_layers=4, residual=True, spatial=(H, W))
+    params, bs = variables["params"], variables["batch_stats"]
+    tx = torch_adam(1e-3)
+    opt = tx.init(params)
+    loss_obj = DnlsLoss(ws=3, wt=wt, ps=3, k=2, stride0=2, dist_crit="v0",
+                        dist_mask=10.0, search_input="deno", nepochs=10)
+
+    def ref_loss(p):
+        deno = model.apply({"params": p, "batch_stats": bs}, noisy, train=False)
+        return loss_obj(noisy, clean, deno,
+                        {"fflow": fflow, "bflow": bflow}, 0)
+
+    ref_v, ref_g = jax.value_and_grad(ref_loss)(params)
+
+    mesh = make_mesh(n_data=n_data, n_time=n_time)
+    step = make_sharded_window_step(model, mesh, tx, loss_obj, kind="stnls",
+                                    wt=wt, train_bn=False, step_i=0)
+    p2, bs2, opt2, loss_v = step(params, bs, opt, noisy, clean, fflow, bflow)
+    assert np.allclose(float(loss_v), float(ref_v), rtol=1e-5), (
+        float(loss_v), float(ref_v))
+
+    import optax
+    upd, _ = tx.update(ref_g, tx.init(params), params)
+    p_ref = optax.apply_updates(params, upd)
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_data_parallel_parity():
+    """Offline trainer DP (batch sharded over the mesh, params replicated,
+    XLA-inserted reductions): step-for-step parity with single-device
+    training (VERDICT round-1 item 5). Reference analogue: DDP via
+    dev_basics.trte (lightning.py:435,532)."""
+    from frame2frame_tpu.config import Config
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.parallel.mesh import (
+        data_parallel_mesh,
+        replicate_tree,
+        shard_batch,
+    )
+    from frame2frame_tpu.train.lit import TrainModule
+    from frame2frame_tpu.train.schedules import make_optimizer
+    from frame2frame_tpu.train.state import TrainState
+
+    B, T, H, W, C = 4, 3, 16, 16, 3
+    rng = np.random.default_rng(0)
+    clean = (rng.random((B, T, H, W, C)) * 255).astype(np.float32)
+    noisy = np.clip(clean + rng.normal(0, 15, clean.shape), 0, 255).astype(
+        np.float32)
+    batch = {"noisy": noisy, "clean": clean}
+
+    cfg = Config({"net_name": "dncnn", "channels": C, "num_layers": 4,
+                  "crit_name": "sup", "nepochs": 2, "lr_init": 1e-3,
+                  "flow": False, "batch_size": B})
+
+    def run_steps(dp):
+        model, variables = init_dncnn(jax.random.PRNGKey(0), channels=C,
+                                      num_layers=4, residual=True,
+                                      spatial=(H, W))
+        module = TrainModule(cfg, model, residual=True)
+        tx, _ = make_optimizer(module.cfg, steps_per_epoch=1)
+        state = TrainState.create(model, variables, tx, residual=True)
+        mesh = data_parallel_mesh(B) if dp else None
+        if mesh is not None:
+            assert mesh.shape["data"] >= 2
+            state = state.replace(
+                params=replicate_tree(mesh, state.params),
+                batch_stats=replicate_tree(mesh, state.batch_stats),
+                opt_state=replicate_tree(mesh, state.opt_state))
+        b = shard_batch(mesh, batch) if mesh is not None else batch
+        key = jax.random.PRNGKey(7)
+        for step in range(2):
+            state, metrics = module.training_step(state, b, 0, key)
+        return state, metrics
+
+    s1, m1 = run_steps(dp=False)
+    s2, m2 = run_steps(dp=True)
+    assert np.allclose(m1["train_loss"], m2["train_loss"], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-4)
