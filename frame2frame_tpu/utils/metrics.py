@@ -90,55 +90,118 @@ def compute_ssims(deno, clean, div=255.0):
 # ---------------------------------------------------------------------------
 # ST-RRED (reduced-reference spatio-temporal entropic differences)
 #
-# Implementation of Soundararajan & Bovik, "Video Quality Assessment by Reduced
-# Reference Spatio-Temporal Entropic Differencing" (TCSVT 2013), following the
-# single-subband simplification used by skvideo.measure.strred-style tooling:
-# one wavelet-like band-pass subband per frame (spatial) and per frame-difference
-# (temporal), GSM-modelled local entropies weighted by log(1 + variance).
+# Faithful implementation of Soundararajan & Bovik, "Video Quality Assessment
+# by Reduced Reference Spatio-Temporal Entropic Differencing" (TCSVT 2013),
+# mirroring the reference-ecosystem tooling (skvideo.measure.strred, the
+# metric behind dev_basics.utils.metrics.compute_strred, test.py:25,245-252):
+#
+# 1. one steerable-pyramid subband per frame (orientation 0 of a 6-orientation
+#    pyramid at decomposition level 4) and per frame-difference;
+# 2. GSM modelling of 3x3 subband blocks: eigen-decomposition of the block
+#    covariance, per-block multiplier MLE, per-block Gaussian channel
+#    entropies with neutral noise sigma^2 = 0.1;
+# 3. entropies scaled by log2(1 + s) premultipliers; spatial RRED = mean
+#    |scaled entropies (ref) - scaled entropies (dis)| per frame, temporal
+#    RRED likewise on frame differences (additionally weighted by the spatial
+#    premultiplier); ST-RRED = mean(srred) * mean(trred).
+#
+# The steerable pyramid is the analytic frequency-domain construction
+# (Simoncelli & Freeman; raised-cosine radial bands x cos^(K-1) angular
+# windows), not the sampled sp5 filter bank, so absolute values differ
+# slightly from skvideo's; the structure and scaling of the measure are the
+# published ones. Regression values are pinned in tests/test_harness.py.
 # ---------------------------------------------------------------------------
 
 
-def _bandpass(img):
-    """Simple band-pass subband: difference-of-gaussians approximating a wavelet band."""
-    from scipy.ndimage import gaussian_filter
+def _steerable_band0(img, level=4, norient=6):
+    """Orientation-0 band of an analytic frequency-domain steerable pyramid.
 
+    Radial window: raised cosine in log2 r, one octave wide, centered so the
+    band at ``level`` spans [pi/2^level, pi/2^(level-1)]. Angular window:
+    alpha_K cos^(K-1)(theta), support |theta| < pi/2 (real, two-lobed).
+    Returns the real subband (same shape as img).
+    """
     img = np.asarray(img, dtype=np.float64)
-    return gaussian_filter(img, 1.0) - gaussian_filter(img, 2.0)
+    H, W = img.shape
+    fy = np.fft.fftfreq(H)[:, None] * 2 * np.pi
+    fx = np.fft.fftfreq(W)[None, :] * 2 * np.pi
+    r = np.hypot(fy, fx)
+    theta = np.arctan2(fy, fx)
+    # radial band: the standard H/L raised-cosine transition pair,
+    # band(r) = cos(pi/2 * |log2(r/(2 rc))|) on (rc, 4 rc), peak at 2 rc
+    rc = np.pi / 2 ** level  # lower band edge
+    band = np.zeros_like(r)
+    m = (r > rc) & (r < 4 * rc)
+    band[m] = np.cos(np.pi / 2 * np.abs(np.log2(r[m] / (2 * rc))))
+    # angular cos^(K-1) window at orientation 0
+    K = norient
+    import math
+
+    alpha = 2 ** (K - 1) * math.factorial(K - 1) / np.sqrt(
+        K * math.factorial(2 * (K - 1)))
+    ang = np.where(np.cos(theta) > 0, alpha * np.cos(theta) ** (K - 1), 0.0)
+    ang_pi = np.where(np.cos(theta) < 0,
+                      alpha * np.abs(np.cos(theta)) ** (K - 1), 0.0)
+    mask = band * (ang + ang_pi)  # real (two-lobed) oriented band
+    return np.real(np.fft.ifft2(np.fft.fft2(img) * mask))
 
 
-def _spatial_entropies(band, blk=3, sigma_nsq=0.1):
-    """Local GSM entropies of a subband: h = log(2πe σ²_local) scaled weights."""
-    from scipy.ndimage import uniform_filter
+def _est_params_gsm(band, blk=3, sigma_nsq=0.1):
+    """GSM block model: returns (s, h) per block — multiplier MLE and local
+    entropy Sum_j log2(s * lambda_j + sigma^2) over the block's Gaussian
+    channels (paper eq. 7-9 structure)."""
+    Hc = (band.shape[0] // blk) * blk
+    Wc = (band.shape[1] // blk) * blk
+    y = band[:Hc, :Wc]
+    # (blk*blk, nblocks) block matrix
+    b = y.reshape(Hc // blk, blk, Wc // blk, blk).transpose(0, 2, 1, 3)
+    b = b.reshape(-1, blk * blk).T
+    n = b.shape[1]
+    cu = (b @ b.T) / max(n, 1)
+    lam, V = np.linalg.eigh(cu)
+    lam = np.maximum(lam, 0.0)
+    # per-block multiplier MLE: s = y^T Cu^{-1} y / m (pseudo-inverse on the
+    # positive eigenspace)
+    proj = V.T @ b  # (m, n)
+    inv_lam = np.where(lam > 1e-12, 1.0 / np.maximum(lam, 1e-12), 0.0)
+    s = np.einsum("mn,m->n", proj ** 2, inv_lam) / (blk * blk)
+    h = np.sum(np.log2(s[None, :] * lam[:, None] + sigma_nsq), axis=0)
+    return s, h
 
-    mu = uniform_filter(band, blk)
-    var = np.maximum(uniform_filter(band * band, blk) - mu * mu, 0.0)
-    ent = 0.5 * np.log(2 * np.pi * np.e * (var + sigma_nsq))
-    w = np.log(1.0 + var)
-    return ent * w
+
+def _extract_info(frame1, frame2, blk=3, sigma_nsq=0.1):
+    """Scaled spatial/temporal entropies of one frame (+ its successor)."""
+    y1 = _steerable_band0(frame1)
+    ydiff = _steerable_band0(frame1 - frame2) if frame2 is not None else None
+    s, h = _est_params_gsm(y1, blk, sigma_nsq)
+    spatial = h * np.log2(1.0 + s)
+    if ydiff is None:
+        return spatial, None
+    sd, hd = _est_params_gsm(ydiff, blk, sigma_nsq)
+    temporal = hd * np.log2(1.0 + s) * np.log2(1.0 + sd)
+    return spatial, temporal
 
 
 def compute_strred(clean, deno, div=255.0):
-    """Per-frame-pair ST-RRED values (lower is better; 0 for identical videos).
-
-    Returns an array of length T-1 (or length 1 for single-frame videos, spatial
-    only). The scalar reported by the reference harness is the mean.
-    """
-    ref = _to_thwc(clean) / div
-    dis = _to_thwc(deno) / div
-    # collapse channels to luma
+    """Per-frame-pair ST-RRED values (lower is better; 0 for identical
+    videos). Returns an array of length T-1 (or length 1 for single-frame
+    videos, spatial-only). The scalar reported by the reference harness
+    (test.py:245-252) is the mean."""
+    ref = _to_thwc(clean) / div * 255.0  # published metric operates on [0,255]
+    dis = _to_thwc(deno) / div * 255.0
     ref = ref.mean(-1)
     dis = dis.mean(-1)
     T = ref.shape[0]
     vals = []
     for t in range(max(T - 1, 1)):
-        sref = _spatial_entropies(_bandpass(ref[t]))
-        sdis = _spatial_entropies(_bandpass(dis[t]))
-        srred = np.mean(np.abs(sref - sdis))
+        nxt_r = ref[t + 1] if T > 1 else None
+        nxt_d = dis[t + 1] if T > 1 else None
+        sref, tref = _extract_info(ref[t], nxt_r)
+        sdis, tdis = _extract_info(dis[t], nxt_d)
+        srred = float(np.mean(np.abs(sref - sdis)))
         if T > 1:
-            tref = _spatial_entropies(_bandpass(ref[t + 1] - ref[t]))
-            tdis = _spatial_entropies(_bandpass(dis[t + 1] - dis[t]))
-            trred = np.mean(np.abs(tref - tdis))
+            trred = float(np.mean(np.abs(tref - tdis)))
+            vals.append(srred * trred)
         else:
-            trred = 0.0
-        vals.append(srred * trred if T > 1 else srred)
+            vals.append(srred)
     return np.asarray(vals)

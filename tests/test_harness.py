@@ -257,3 +257,35 @@ def test_pack_raw_bayer():
     assert packed.shape == (1, 2, 2, 4)
     # RGGB plane order: R=(0,0), G1=(0,1), G2=(1,0), B=(1,1)
     np.testing.assert_array_equal(packed[0, 0, 0], [0, 1, 4, 5])
+
+
+def test_strred_published_structure():
+    """ST-RRED (utils/metrics.py): faithful Soundararajan-Bovik structure —
+    steerable-pyramid subband + GSM block entropies + entropic differencing
+    (reference surface: test.py:25,245-252). Properties: zero at identity,
+    strictly monotonic in noise level, pinned regression values."""
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from frame2frame_tpu.utils.metrics import compute_strred
+
+    rng = np.random.default_rng(0)
+    base = gaussian_filter(rng.random((80, 96)), 3.0)
+    base = (base - base.min()) / (base.max() - base.min()) * 255
+    clean = np.stack([np.roll(base, t, axis=1) for t in range(5)])[..., None]
+
+    assert np.allclose(compute_strred(clean, clean), 0.0)
+
+    vals = []
+    for sigma in (5, 15, 30, 50):
+        noisy = clean + rng.normal(0, sigma, clean.shape)
+        vals.append(float(np.mean(compute_strred(clean, noisy))))
+    assert vals == sorted(vals), vals  # monotonic in distortion
+
+    # pinned regression values (this implementation, fixed seed)
+    ref = [0.053718, 0.552110, 2.734542, 10.60397]
+    np.testing.assert_allclose(vals, ref, rtol=1e-3)
+
+    # single-frame videos: spatial-only path
+    one = compute_strred(clean[:1], clean[:1] + rng.normal(0, 10, clean[:1].shape))
+    assert one.shape == (1,) and one[0] > 0
