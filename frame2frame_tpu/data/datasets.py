@@ -59,18 +59,59 @@ def synthetic_video(seed, nframes=10, h=128, w=128, channels=1, shift=(1, 1)):
 
 
 class VideoDataset:
-    """A split: list of samples, each a full video (noise added lazily, seeded)."""
+    """A split: list of samples, each a full video (noise added lazily, seeded).
 
-    def __init__(self, videos, names, cfg, split_seed=0):
+    With ``cfg.read_flows`` true, samples carry precomputed ``fflow``/``bflow``
+    fields like the reference datasets (lightning.py:299-301, test.py:157-162):
+    TV-L1 flows solved once from the clean video and cached — as ``.flo``
+    sidecars under ``<video_dir>/.flows/`` for directory-backed videos
+    (``flow_dirs``), in memory otherwise.
+    """
+
+    def __init__(self, videos, names, cfg, split_seed=0, flow_dirs=None):
         self._videos = videos  # list of callables () -> (T,H,W,C) clean
         self.names = names
         self.cfg = cfg
         self.noise = choose_noise_transform(cfg)
         self.split_seed = split_seed
         self.groups = names  # data_hub-compatible alias
+        self.flow_dirs = flow_dirs or [None] * len(videos)
+        self._flow_cache = {}
 
     def __len__(self):
         return len(self._videos)
+
+    def _flows(self, index, clean):
+        """fflow/bflow (T, H, W, 2) for video ``index``; solved once, cached."""
+        if index in self._flow_cache:
+            return self._flow_cache[index]
+        fdir = self.flow_dirs[index]
+        T = clean.shape[0]
+        if fdir is not None:
+            fdir = Path(fdir) / ".flows"
+            from ..io.flo import read_flo
+
+            paths = [(fdir / f"f_{t:05d}.flo", fdir / f"b_{t:05d}.flo")
+                     for t in range(T)]
+            if all(pf.exists() and pb.exists() for pf, pb in paths):
+                ff = np.stack([read_flo(str(pf)) for pf, _ in paths])
+                bf = np.stack([read_flo(str(pb)) for _, pb in paths])
+                self._flow_cache[index] = (ff, bf)
+                return ff, bf
+        from ..flow.api import run_flows
+
+        flows = run_flows(clean[None])
+        ff = np.asarray(flows.fflow[0], np.float32)
+        bf = np.asarray(flows.bflow[0], np.float32)
+        if fdir is not None:
+            from ..io.flo import write_flo
+
+            fdir.mkdir(parents=True, exist_ok=True)
+            for t in range(T):
+                write_flo(str(fdir / f"f_{t:05d}.flo"), ff[t])
+                write_flo(str(fdir / f"b_{t:05d}.flo"), bf[t])
+        self._flow_cache[index] = (ff, bf)
+        return ff, bf
 
     def __getitem__(self, index):
         clean = np.asarray(self._videos[index](), dtype=np.float32)
@@ -82,7 +123,7 @@ class VideoDataset:
         else:
             noisy = out
         T = clean.shape[0]
-        return Config(
+        sample = Config(
             noisy=np.asarray(noisy, np.float32),
             clean=clean,
             fnums=np.arange(T),
@@ -91,6 +132,11 @@ class VideoDataset:
             sigma=sigma,
             vid_name=self.names[index],
         )
+        if optional(self.cfg, "read_flows", False):
+            ff, bf = self._flows(index, clean)
+            sample.fflow = ff
+            sample.bflow = bf
+        return sample
 
 
 def _load_dir_split(root, cfg, split_seed):
@@ -109,7 +155,8 @@ def _load_dir_split(root, cfg, split_seed):
 
         return load
 
-    return VideoDataset([make_loader(p) for p in vids], names, cfg, split_seed)
+    return VideoDataset([make_loader(p) for p in vids], names, cfg, split_seed,
+                        flow_dirs=vids)
 
 
 def _load_synthetic_split(cfg, split_seed):
@@ -189,7 +236,8 @@ def slice_sample(sample, frame_start=0, frame_end=-1):
         return sample
     sl = slice(frame_start, frame_end + 1)
     out = Config(sample)
-    for k in ("noisy", "clean"):
-        out[k] = sample[k][sl]
+    for k in ("noisy", "clean", "fflow", "bflow"):
+        if k in sample:
+            out[k] = sample[k][sl]
     out.fnums = sample.fnums[sl]
     return out

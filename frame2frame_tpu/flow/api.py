@@ -51,6 +51,16 @@ def run_flows(vid, use_flow=True, ftype="tvl1", **params):
 
     kw = dict(DENOISING_PARAMS)
     kw.update(params)
+    # small frames: the denoising params' fscale=2 (stop 2 levels above
+    # finest, tvl1flow.sh:12-18) can exceed the auto-clamped pyramid depth
+    # (coarsest >= 16 px, main.c:159-163), which in the C code solves no
+    # level at all (zero flow). The harness path clamps so at least the
+    # coarsest level solves.
+    from ..ops.pyramid import num_scales
+
+    ns = num_scales(W, H, kw.get("nscales", 100), kw.get("zfactor", 0.5))
+    if kw.get("fscale", 0) >= ns:
+        kw["fscale"] = max(ns - 1, 0)
     solver = make_batched_tvl1(W, H, **kw)
 
     # forward: pairs (t, t+1) for t in 0..T-2 ; backward: (t, t-1) for t in

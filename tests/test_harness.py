@@ -289,3 +289,52 @@ def test_strred_published_structure():
     # single-frame videos: spatial-only path
     one = compute_strred(clean[:1], clean[:1] + rng.normal(0, 10, clean[:1].shape))
     assert one.shape == (1,) and one[0] > 0
+
+
+def test_dir_dataset_read_flows(tmp_path):
+    """Dir-backed datasets supply fflow/bflow when read_flows is set
+    (reference datasets carry these fields, lightning.py:299-301), with .flo
+    sidecar caching, and the eval pipeline consumes them end-to-end
+    (test.py:157-162)."""
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from frame2frame_tpu.config import Config
+    from frame2frame_tpu.data import sets
+    from frame2frame_tpu.io.image import write_gray
+
+    rng = np.random.default_rng(3)
+    base = gaussian_filter(rng.random((40, 48)), 3.0)
+    base = (base - base.min()) / (base.max() - base.min()) * 255
+    vdir = tmp_path / "data" / "set8" / "vid00"
+    vdir.mkdir(parents=True)
+    for t in range(4):
+        write_gray(str(vdir / f"{t:03d}.png"), np.roll(base, t, axis=1)[:32, :32])
+
+    cfg = Config({"dname": "set8", "data_root": str(tmp_path / "data"),
+                  "ntype": "g", "sigma": 15, "read_flows": True})
+    data, loaders = sets.load(cfg)
+    sample = data.te[0]
+    assert sample.fflow.shape == (4, 32, 32, 2)
+    assert sample.bflow.shape == (4, 32, 32, 2)
+    # horizontal roll of 1 px/frame: median fflow x-component ~ +/-1
+    assert abs(abs(float(np.median(sample.fflow[1][..., 0]))) - 1.0) < 0.5
+
+    # sidecar cache written and reused
+    flo_files = list((vdir / ".flows").glob("*.flo"))
+    assert len(flo_files) == 8
+    data2, _ = sets.load(cfg)
+    s2 = data2.te[0]
+    np.testing.assert_allclose(s2.fflow, sample.fflow)
+
+    # eval pipeline consumes dataset flows (read_flows path, test.py:157-162)
+    from frame2frame_tpu.eval import test as eval_test
+
+    res = eval_test.run(Config({
+        "dname": "set8", "data_root": str(tmp_path / "data"),
+        "ntype": "g", "sigma": 15, "read_flows": True, "flow": True,
+        "net_name": "dncnn", "channels": 1, "num_layers": 3,
+        "vid_name": "vid00", "frame_start": 0, "frame_end": 3,
+        "save_deno": False,
+    }))
+    assert np.isfinite(res.psnrs[0]).all()
