@@ -104,3 +104,23 @@ def add_jpeg_artifacts(clean, quality=30):
         buf.seek(0)
         out[t] = np.asarray(Image.open(buf), dtype=np.float32)
     return out
+
+
+def anscombe(x):
+    """Anscombe variance-stabilizing transform f(x) = 2*sqrt(x + 3/8)
+    (the reference's disabled stubs, instances_adapt.py:79-89). Input in
+    photon-count-like units (non-negative)."""
+    import numpy as np
+
+    return 2.0 * np.sqrt(np.maximum(np.asarray(x, np.float64), 0.0) + 0.375)
+
+
+def anscombe_inverse(y):
+    """Unbiased closed-form approximation of the exact inverse Anscombe
+    transform (Makitalo & Foi 2011)."""
+    import numpy as np
+
+    y = np.asarray(y, np.float64)
+    return (0.25 * y**2 + 0.25 * np.sqrt(1.5) / np.maximum(y, 1e-8)
+            - 11.0 / 8.0 / np.maximum(y**2, 1e-8)
+            + 0.625 * np.sqrt(1.5) / np.maximum(y**3, 1e-8) - 0.125)

@@ -3,10 +3,10 @@
 ``spatial_chunk_size`` / ``spatial_chunk_overlap`` / ``temporal_chunk_size``,
 instances_adapt.py:503-504).
 
-Spatial tiles overlap by ``overlap`` fraction and are blended back with uniform
-averaging over the overlapped regions; temporal chunks slide without overlap.
-Chunk shapes are static per (video shape, chunk cfg), so each tile size jits
-once.
+Spatial tiles overlap by ``overlap`` fraction and temporal chunks by
+``temporal_chunk_overlap`` frames; all tiles are blended back with uniform
+averaging over the overlapped regions. Chunk shapes are static per (video
+shape, chunk cfg), so each tile size jits once.
 """
 
 from __future__ import annotations
@@ -43,6 +43,7 @@ def chunk(chunk_cfg, fwd_fxn):
     ssize = optional(chunk_cfg, "spatial_chunk_size", 0) or 0
     soverlap = optional(chunk_cfg, "spatial_chunk_overlap", 0.0) or 0.0
     tsize = optional(chunk_cfg, "temporal_chunk_size", 0) or 0
+    toverlap = int(optional(chunk_cfg, "temporal_chunk_overlap", 0) or 0)
 
     if not ssize and not tsize:
         return fwd_fxn
@@ -52,8 +53,9 @@ def chunk(chunk_cfg, fwd_fxn):
 
         vid = jnp.asarray(vid)
         B, T, H, W, C = vid.shape
-        t_chunks = _tile_starts(T, tsize, tsize) if tsize else [0]
-        t_len = tsize if tsize else T
+        t_len = min(tsize, T) if tsize else T
+        t_stride = max(t_len - toverlap, 1)
+        t_chunks = _tile_starts(T, t_len, t_stride) if tsize else [0]
 
         out_sum = jnp.zeros_like(vid)
         out_cnt = jnp.zeros((1, T, H, W, 1), vid.dtype)

@@ -53,10 +53,12 @@ class _WrapBase:
     def _loss(self, apply_fn, noisy_i, clean_i, flows_i, epoch, key):
         raise NotImplementedError
 
-    def __call__(self, state: TrainState, noisy, clean, seed=0):
+    def __call__(self, state: TrainState, noisy, clean, seed=0, sched=None):
         """Run the adaptation; noisy/clean: (B, T, H, W, C) in [0, 1].
         Returns (state, info) with info.lr / info.loss traces
-        (warped_loss.py:80-83)."""
+        (warped_loss.py:80-83); ``sched`` is the optimizer's learning-rate
+        schedule (make_optimizer's second return), stepped per optimizer
+        update like the reference scheduler (instances_adapt.py:209-211)."""
         info = Config(lr=[], loss=[])
         rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
@@ -87,7 +89,8 @@ class _WrapBase:
                 state = apply_gradients(state, grads,
                                         new_bs if self.train_bn else None)
                 info.loss.append(float(loss))
-                info.lr.append(state.step)
+                info.lr.append(float(sched(state.step - 1)) if sched is not None
+                               else state.step)
         return state, info
 
     def _fwd_video(self, apply_fn, vid):

@@ -66,6 +66,30 @@ def make_schedule(cfg, steps_per_epoch=1):
     raise ValueError(f"Unknown scheduler [{name}]")
 
 
+def scale_by_torch_sgd_momentum(momentum, dampening=0.0):
+    """torch.optim.SGD momentum semantics: buf_0 = g_0 (undampened first
+    step), buf_t = momentum*buf + (1 - dampening)*g afterwards. optax.trace
+    has no dampening and optax has no equivalent of the first-step special
+    case."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {"count": jnp.zeros([], jnp.int32),
+                "buf": jax.tree.map(jnp.zeros_like, params)}
+
+    def update(updates, state, params=None):
+        first = state["count"] == 0
+
+        def merge(g, b):
+            return jnp.where(first, g, momentum * b + (1.0 - dampening) * g)
+
+        buf = jax.tree.map(merge, updates, state["buf"])
+        return buf, {"count": state["count"] + 1, "buf": buf}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg, steps_per_epoch=1):
     """Optimizer factory matching configure_optimizers (lightning.py:169-181):
     adam or sgd with the torch weight-decay-in-gradient convention."""
@@ -79,8 +103,8 @@ def make_optimizer(cfg, steps_per_epoch=1):
         parts.append(optax.scale_by_adam())
     elif name == "sgd":
         momentum = optional(cfg, "sgd_momentum", 0.1)
-        # torch SGD dampening has no optax equivalent; trace_decay covers momentum
-        parts.append(optax.trace(decay=momentum, nesterov=False))
+        dampening = optional(cfg, "sgd_dampening", 0.1)
+        parts.append(scale_by_torch_sgd_momentum(momentum, dampening))
     else:
         raise ValueError(f"Unknown optim [{name}]")
     parts.append(optax.scale_by_schedule(lambda s: -sched(s)))

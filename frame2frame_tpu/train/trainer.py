@@ -51,11 +51,17 @@ class CSVLogger:
         self._rows.append(row)
         keys = sorted({k for r in self._rows for k in r})
         if keys != self._keys:
+            # column set changed: rewrite (rare — only when new metric keys
+            # appear); otherwise append one line, O(1) per step
             self._keys = keys
-        with open(self.path, "w") as f:
-            f.write(",".join(self._keys) + "\n")
-            for r in self._rows:
-                f.write(",".join(str(r.get(k, "")) for k in self._keys) + "\n")
+            with open(self.path, "w") as f:
+                f.write(",".join(self._keys) + "\n")
+                for r in self._rows:
+                    f.write(",".join(str(r.get(k, ""))
+                                     for k in self._keys) + "\n")
+            return
+        with open(self.path, "a") as f:
+            f.write(",".join(str(row.get(k, "")) for k in self._keys) + "\n")
 
 
 def run(cfg):

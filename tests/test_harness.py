@@ -338,3 +338,119 @@ def test_dir_dataset_read_flows(tmp_path):
         "save_deno": False,
     }))
     assert np.isfinite(res.psnrs[0]).all()
+
+
+def test_instances_adapt_raw_and_sigma_table(tmp_path):
+    """instances_adapt parity pieces (reference instances_adapt.py:79-158,
+    348-379): raw mosaic burst decode via tifffile + Bayer packing +
+    black/white-level normalization, optional Anscombe stabilization, and the
+    sigma -> pretrained-checkpoint table."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    import scripts.instances_adapt as ia
+    from frame2frame_tpu.config import Config
+
+    # raw burst: 3 mosaic frames as .tiff files
+    rng = np.random.default_rng(0)
+    braw = tmp_path / "burst"
+    braw.mkdir()
+    mosaics = (rng.random((3, 16, 20)) * 4000 + 512).astype(np.float32)
+    for t in range(3):
+        Image.fromarray(mosaics[t], mode="F").save(
+            str(braw / f"frame_{t:02d}.tiff"))
+
+    cfg = Config({"raw_path": str(braw), "raw_black_level": 512,
+                  "raw_white_level": 4608})
+    vid = ia.load_raw_burst(cfg)
+    assert vid.shape == (3, 8, 10, 4)
+    assert 0.0 <= vid.min() and vid.max() <= 1.0
+    # packing layout: RGGB planes
+    expect = (mosaics[0, 0, 0] - 512) / 4096
+    np.testing.assert_allclose(vid[0, 0, 0, 0], expect, rtol=1e-5)
+
+    # Anscombe gate changes values monotonically, keeps [0, 1]
+    cfg2 = Config(dict(cfg, use_anscombe=True))
+    vid2 = ia.load_raw_burst(cfg2)
+    assert vid2.shape == vid.shape and vid2.max() <= 1.0 + 1e-6
+    assert not np.allclose(vid, vid2)
+
+    # sigma -> checkpoint table
+    ck = tmp_path / "ckpts"
+    ck.mkdir()
+    (ck / "x.msgpack").write_bytes(b"")
+    (ck / "sigma_table.json").write_text(
+        json.dumps({"dncnn": {"25": "x.msgpack"}}))
+    cfg3 = Config({"pretrained_root": str(ck), "net_name": "dncnn",
+                   "sigma": 25})
+    ia.set_pretrained_path(cfg3)
+    assert cfg3["pretrained_path"].endswith("x.msgpack")
+    assert cfg3["pretrained_load"]
+
+    # filename-convention fallback
+    (ck / "dncnn-sigma30.msgpack").write_bytes(b"")
+    cfg4 = Config({"pretrained_root": str(ck), "net_name": "dncnn",
+                   "sigma": 30})
+    ia.set_pretrained_path(cfg4)
+    assert cfg4["pretrained_path"].endswith("dncnn-sigma30.msgpack")
+
+
+def test_torch_sgd_momentum_parity():
+    """sgd_momentum/sgd_dampening config keys drive exact torch.optim.SGD
+    semantics, including the undampened first-step buffer (lit_pairs keys,
+    lightning.py:169-181)."""
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+    import optax
+
+    from frame2frame_tpu.train.schedules import scale_by_torch_sgd_momentum
+
+    momentum, dampening, lr = 0.9, 0.3, 0.1
+    w0 = np.asarray([1.0, -2.0, 3.0], np.float32)
+    grads = [np.asarray(g, np.float32) for g in
+             ([0.5, -1.0, 2.0], [1.0, 1.0, -1.0], [-0.2, 0.3, 0.4])]
+
+    wt = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([wt], lr=lr, momentum=momentum, dampening=dampening)
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        opt.step()
+
+    tx = optax.chain(scale_by_torch_sgd_momentum(momentum, dampening),
+                     optax.scale(-lr))
+    wj = jnp.asarray(w0)
+    st = tx.init(wj)
+    for g in grads:
+        upd, st = tx.update(jnp.asarray(g), st, wj)
+        wj = optax.apply_updates(wj, upd)
+
+    np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_temporal_chunk_overlap():
+    """temporal_chunk_overlap is honored: overlapping temporal tiles blend by
+    averaging (reference chunk surface, test.py:53-57)."""
+    import numpy as np
+
+    from frame2frame_tpu.config import Config
+    from frame2frame_tpu.eval.chunks import chunk
+
+    calls = []
+
+    def fwd(vid, fl=None):
+        calls.append(vid.shape[1])
+        return vid * 2.0
+
+    f = chunk(Config({"temporal_chunk_size": 4, "temporal_chunk_overlap": 2}),
+              fwd)
+    vid = np.random.default_rng(0).random((1, 8, 4, 4, 1)).astype(np.float32)
+    out = np.asarray(f(vid))
+    np.testing.assert_allclose(out, vid * 2.0, rtol=1e-6)
+    # stride = 4 - 2 = 2 -> starts 0,2,4 (and 4 == T-4 already covered)
+    assert len(calls) == 3 and all(c == 4 for c in calls)

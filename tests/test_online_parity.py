@@ -159,3 +159,35 @@ def test_dncnn_forward_matches_torch(setup):
     noise = model.apply(state, jnp.asarray(frames[0])[None, ..., None], train=False)
     np.testing.assert_allclose(np.asarray(noise)[0, ..., 0], noise_ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_online_step_compile_budget():
+    """The fused 20-iteration online step must trace+lower in seconds at
+    (reduced) realistic spatial size — regression guard against Python-
+    unrolled growth in the model or step (the TPU path uses a rolled scan;
+    CPU unrolls, so pin the TPU-style rolled variant explicitly)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.train.online import make_online_step, torch_adam
+
+    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                  num_layers=17, spatial=(64, 64))
+    tx = torch_adam(5e-5, 1e-5)
+    step = make_online_step(model, tx, iters=20, unroll=False)
+
+    H, W = 256, 384
+    params = variables["params"]
+    bs = variables["batch_stats"]
+    opt = tx.init(params)
+    args = (params, bs, opt,
+            jax.ShapeDtypeStruct((H, W, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, W, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, W, 2), jnp.float32))
+    t0 = time.time()
+    step.lower(*args)
+    dt = time.time() - t0
+    assert dt < 60.0, f"online step traced+lowered in {dt:.1f}s"

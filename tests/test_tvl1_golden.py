@@ -44,8 +44,10 @@ def test_tvl1_matches_c_binary(pair, golden, params):
     solver = make_tvl1_solver(nx, ny, **params)
     flow = np.asarray(solver(I0, I1))
     err = np.abs(flow - ref)
-    assert err.mean() < 5e-3, f"mean abs err {err.mean()}"
-    assert np.median(err) < 2e-3
+    # measured parity on these goldens: mean ~1.2-1.6e-6 px, max ~7e-5 px —
+    # the bounds pin the README/BASELINE "golden parity" claim with margin
+    assert err.mean() < 1e-5, f"mean abs err {err.mean()}"
+    assert err.max() < 5e-4, f"max abs err {err.max()}"
     # flow magnitudes agree overall (the pair contains a (-1, +1) px shift)
     np.testing.assert_allclose(flow.mean((0, 1)), ref.mean((0, 1)), atol=5e-3)
 
