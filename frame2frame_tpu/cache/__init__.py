@@ -4,10 +4,12 @@
 semantics (the reference's sweep-resume mechanism, SURVEY.md §5), and a
 results-to-records collector.
 
-Dispatch backends: "serial" (in-process; the default here) and "process"
-(one subprocess per experiment — the slurm-analogue for a single host). No
-cluster scheduler is assumed; sweeps across hosts shard by ``--arg0 i/n``
-slicing like the reference launchers (scripts/trte_dncnn/train.py:27-31).
+Dispatch backends (``enable_dispatch``): None/"serial" (in-process),
+"process" (one subprocess per experiment, bounded local pool), and "slurm"
+(one sbatch job per experiment when the scheduler exists, else the process
+pool) — see cache/dispatch.py. ``use_wandb`` logs every run's config and
+summary through the real wandb when importable, else a local
+wandb-compatible JSONL logger under ``<cache_dir>/wandb/``.
 """
 
 from __future__ import annotations
@@ -58,30 +60,105 @@ class ExpCache:
         self.path(uuid).unlink(missing_ok=True)
 
 
+class WandbCompatLogger:
+    """Local wandb-compatible run logger: one JSONL file per run with
+    config + logged rows + summary. Used when wandb isn't importable, so
+    ``use_wandb=True`` always produces inspectable run logs."""
+
+    def __init__(self, root, project):
+        self.root = Path(root) / "wandb" / project
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def log_run(self, uuid, cfg, results):
+        path = self.root / f"{uuid}.jsonl"
+        with open(path, "w") as f:
+            f.write(json.dumps({"event": "init", "run": uuid,
+                                "config": {k: str(v) for k, v in cfg.items()}})
+                    + "\n")
+            f.write(json.dumps({"event": "summary",
+                                "summary": _json_safe(results)}) + "\n")
+
+
+def _json_safe(obj):
+    try:
+        json.dumps(obj)
+        return obj
+    except TypeError:
+        if isinstance(obj, dict):
+            return {k: _json_safe(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return [_json_safe(v) for v in obj]
+        if hasattr(obj, "tolist"):
+            return obj.tolist()
+        return str(obj)
+
+
+def _wandb_log(logger_state, cache_root, proj_name, uuid, cfg, results):
+    try:
+        import wandb
+
+        run = wandb.init(project=proj_name, name=uuid, reinit=True,
+                         config={k: str(v) for k, v in cfg.items()})
+        run.summary.update(_json_safe(results))
+        run.finish()
+    except Exception:  # wandb missing or not logged in: local JSONL logger
+        if logger_state.get("local") is None:
+            logger_state["local"] = WandbCompatLogger(cache_root, proj_name)
+        logger_state["local"].log_run(uuid, cfg, results)
+
+
 def run_exps(exps, run_fn, uuids=None, cache_dir=".cache_f2f",
              clear=False, skip_loop=False, proj_name="f2f",
              enable_dispatch=None, records_fn=None, use_wandb=False,
-             preset_uuids=False, results_fn=None, verbose=True):
+             preset_uuids=False, results_fn=None, verbose=True,
+             dispatch_nprocs=None, slurm_opts=None):
     """Run a list of experiment configs through ``run_fn(cfg)``, caching by
     uuid, skipping completed ones (cache_io.run_exps semantics).
+
+    ``enable_dispatch``: "slurm" (sbatch per pending experiment; process-pool
+    fallback without a scheduler) or "process" (local subprocess pool); the
+    shared uuid cache gives cross-job skip-done/resume. ``use_wandb`` logs
+    each run's config+summary (real wandb if importable, local JSONL
+    otherwise).
 
     Returns the list of {"cfg", "results", "uuid"} records.
     """
     cache = ExpCache(Path(cache_dir) / proj_name)
     if uuids is None:
         uuids = get_uuids(exps, cache_dir)
+
+    if clear:
+        for uuid in uuids:
+            cache.clear(uuid)
+
+    if enable_dispatch in ("slurm", "process"):
+        from . import dispatch as _dispatch
+
+        spec = _dispatch.fn_spec(run_fn)
+        jobs = [
+            _dispatch.write_job(cache.root / "pending", uuid, dict(cfg,
+                                                                   uuid=uuid),
+                                spec, cache.root)
+            for cfg, uuid in zip(exps, uuids) if not cache.done(uuid)
+        ]
+        _dispatch.dispatch(jobs, backend=enable_dispatch,
+                           nprocs=dispatch_nprocs, slurm_opts=slurm_opts,
+                           verbose=verbose)
+
+    wandb_state = {}
     records = []
     for cfg, uuid in zip(exps, uuids):
         cfg = Config(cfg)
         cfg.uuid = uuid
-        if clear:
-            cache.clear(uuid)
         if cache.done(uuid) and not skip_loop:
             rec = cache.read(uuid)
             rec["uuid"] = uuid
             records.append(rec)
             if verbose:
                 print(f"[cache] skip {uuid}")
+            if use_wandb:
+                _wandb_log(wandb_state, Path(cache_dir), proj_name, uuid,
+                           rec["cfg"], rec.get("results", {}))
             continue
         if verbose:
             print(f"[run ] {uuid}")
@@ -93,6 +170,9 @@ def run_exps(exps, run_fn, uuids=None, cache_dir=".cache_f2f",
         results = _to_plain(results)
         cache.write(uuid, cfg, results)
         records.append({"cfg": dict(cfg), "results": results, "uuid": uuid})
+        if use_wandb:
+            _wandb_log(wandb_state, Path(cache_dir), proj_name, uuid, cfg,
+                       results)
     return records
 
 

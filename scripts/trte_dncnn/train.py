@@ -10,7 +10,10 @@ REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
 
 
-def main():
+def main(enable_dispatch=None, use_wandb=False):
+    """CLI: --dispatch slurm|process farms one job per config (reference
+    surface: cache_io.run_exps(..., enable_dispatch="slurm", use_wandb=True),
+    scripts/trte_dncnn/train.py:42-45)."""
     from frame2frame_tpu import cache
     from frame2frame_tpu.train import trainer
 
@@ -20,7 +23,8 @@ def main():
     print(f"Running {len(exps)} experiments")
     records = cache.run_exps(
         exps, trainer.run, uuids=uuids,
-        cache_dir=".cache_f2f", proj_name="trte_dncnn",
+        cache_dir=".cache_f2f", enable_dispatch=enable_dispatch,
+        use_wandb=use_wandb, proj_name="trte_dncnn",
     )
     df = cache.records_to_frame(records)
     cols = [c for c in ("sigma", "val_psnr", "val_ssim", "uuid") if c in df]
@@ -29,4 +33,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dispatch", default=None, choices=["slurm", "process"])
+    ap.add_argument("--wandb", action="store_true")
+    args = ap.parse_args()
+    main(enable_dispatch=args.dispatch, use_wandb=args.wandb)

@@ -454,3 +454,49 @@ def test_temporal_chunk_overlap():
     np.testing.assert_allclose(out, vid * 2.0, rtol=1e-6)
     # stride = 4 - 2 = 2 -> starts 0,2,4 (and 4 == T-4 already covered)
     assert len(calls) == 3 and all(c == 4 for c in calls)
+
+
+def test_run_exps_dispatch_and_wandb(tmp_path):
+    """cache.run_exps honors enable_dispatch (subprocess-per-experiment with
+    cross-job skip-done; slurm backend falls back to the pool without sbatch)
+    and use_wandb (local wandb-compatible JSONL logs) — the reference launch
+    surface cache_io.run_exps(..., enable_dispatch="slurm", use_wandb=True)
+    (scripts/trte_dncnn/train.py:42-45, instances_adapt.py:512-516)."""
+    import json
+    import sys
+
+    from frame2frame_tpu import cache
+
+    (tmp_path / "dispatch_target.py").write_text(
+        "import os\n"
+        "def run(cfg):\n"
+        "    return {'value': cfg['x'] * 2, 'pid': os.getpid()}\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        from dispatch_target import run as run_fn
+
+        exps = cache.load_edata({"a": 1}, [{"x": [1, 2, 3]}])
+        recs = cache.run_exps(exps, run_fn, cache_dir=str(tmp_path),
+                              proj_name="disp", enable_dispatch="process",
+                              use_wandb=True, verbose=False,
+                              dispatch_nprocs=2)
+        assert sorted(r["results"]["value"] for r in recs) == [2, 4, 6]
+        # each experiment really ran in its own interpreter
+        import os as _os
+
+        pids = {r["results"]["pid"] for r in recs}
+        assert _os.getpid() not in pids
+
+        # skip-done across a second dispatch invocation (sweep resume)
+        recs2 = cache.run_exps(exps, run_fn, cache_dir=str(tmp_path),
+                               proj_name="disp", enable_dispatch="slurm",
+                               verbose=False)
+        assert sorted(r["results"]["value"] for r in recs2) == [2, 4, 6]
+
+        # local wandb-compatible logs written (one per run)
+        logs = list((tmp_path / "wandb" / "disp").glob("*.jsonl"))
+        assert len(logs) == 3
+        lines = [json.loads(ln) for ln in logs[0].read_text().splitlines()]
+        assert lines[0]["event"] == "init" and lines[1]["event"] == "summary"
+    finally:
+        sys.path.remove(str(tmp_path))
