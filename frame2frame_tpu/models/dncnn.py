@@ -42,8 +42,12 @@ class PackedConv3x3(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, cin, self.features), jnp.float32,
         )
-        from ..ops.packed import conv3x3_packed
+        from ..ops.packed import conv3x3_packed, conv3x3_packed_bf16
 
+        if self.compute_dtype == jnp.bfloat16:
+            # end-to-end bf16 chain: the caller casts activations once after
+            # packing; fwd/dX stay bf16 (half HBM traffic), dW is f32
+            return conv3x3_packed_bf16(x2.astype(jnp.bfloat16), kernel)
         return conv3x3_packed(x2, kernel, dtype=self.compute_dtype)
 
 
@@ -71,8 +75,11 @@ class PackedBatchNorm(nn.Module):
             m, v = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x2.ndim - 1))
-            m2 = jnp.mean(x2, axis=axes)
-            s2 = jnp.mean(jnp.square(x2), axis=axes)
+            # stats always accumulate in f32 (bf16 mean/var would suffer
+            # catastrophic cancellation in v = E[x^2] - m^2)
+            x2f = x2.astype(jnp.float32)
+            m2 = jnp.mean(x2f, axis=axes)
+            s2 = jnp.mean(jnp.square(x2f), axis=axes)
             m = fold_packed_stats(m2)
             v = fold_packed_stats(s2) - jnp.square(m)
             if not self.is_initializing():
@@ -82,7 +89,10 @@ class PackedBatchNorm(nn.Module):
                                 + (1.0 - self.momentum) * v)
 
         inv = jax.lax.rsqrt(v + self.epsilon) * scale
-        return x2 * tile_packed(inv) + tile_packed(bias - m * inv)
+        # cast the per-channel affine to the activation dtype so the bf16
+        # chain is not promoted back to f32 mid-network
+        return (x2 * tile_packed(inv).astype(x2.dtype)
+                + tile_packed(bias - m * inv).astype(x2.dtype))
 
 
 class Conv3x3(nn.Module):
@@ -201,7 +211,7 @@ class DnCNN(nn.Module):
         if packed:
             from ..ops.packed import unpack_image
 
-            noise = unpack_image(noise)
+            noise = unpack_image(noise).astype(jnp.float32)
 
         out = x_in - noise if self.residual else noise
         if vid_shape is not None:

@@ -46,14 +46,14 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _pick_tile_h(Wp, cx2, cg2, budget=10 * 1024 * 1024):
+def _pick_tile_h(Wp, cx2, cg2, itemsize=4, budget=10 * 1024 * 1024):
     """Rows per tile. TH must be a multiple of 8 so the g2 block row count
     n2 = TH*Wp/2 is sublane-aligned (Wp/2 may be odd); the image is padded
     with zero rows up to a TH multiple. g2 tiles are double-buffered by the
     grid pipeline; the x2 slab (n2 + Wp + 16, cx2) is a single manual DMA."""
-    for th in (16, 8):
+    for th in (32, 16, 8):
         n2 = th * Wp // 2
-        bytes_needed = 4 * (2 * n2 * cg2 + (n2 + Wp + 16) * cx2)
+        bytes_needed = itemsize * (2 * n2 * cg2 + (n2 + Wp + 16) * cx2)
         if bytes_needed <= budget:
             return th
     return 8
@@ -106,21 +106,24 @@ def dw_conv3x3(x, g):
     Wp = W + 2
     cx2, cg2 = 2 * Cin, 2 * Cout
 
-    TH = _pick_tile_h(Wp, cx2, cg2)
+    TH = _pick_tile_h(Wp, cx2, cg2, itemsize=x.dtype.itemsize)
     Hpad = -(-H // TH) * TH  # zero-row padding contributes nothing to dW
 
     # x: pad rows AND cols, pack; prepend one zero j-row (for r = -1) and
     # trailing zero rows so every tile's slab read stays in bounds.
     xp = jnp.pad(x, ((1, 1 + (Hpad - H)), (1, 1), (0, 0)))
     x2 = xp.reshape((Hpad + 2) * Wp // 2, cx2)
+    # trailing pad must cover the worst-case slab over-read (slab is rounded
+    # up to the sublane alignment, 16 rows for 2-byte dtypes)
     x2 = jnp.concatenate(
-        [jnp.zeros((1, cx2), x2.dtype), x2, jnp.zeros((16, cx2), x2.dtype)], 0)
+        [jnp.zeros((1, cx2), x2.dtype), x2, jnp.zeros((32, cx2), x2.dtype)], 0)
     gp = jnp.pad(g, ((0, Hpad - H), (0, 0), (0, 0)))
     g2 = _pack2(gp)  # (Hpad*Wp/2, cg2), zero pad cols
 
     n2 = TH * Wp // 2
     n_tiles = Hpad // TH
-    slab = -(-(n2 + Wp + 8) // 8) * 8
+    align = 16 if x.dtype.itemsize < 4 else 8
+    slab = -(-(n2 + Wp + align) // align) * align
     R1 = Wp // 2
     r_list = tuple(
         dy * R1 + dr for dy in range(3) for dr in (-1, 0, 1))
@@ -137,7 +140,7 @@ def dw_conv3x3(x, g):
         out_specs=pl.BlockSpec((9, cx2, cg2), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((slab, cx2), jnp.float32),
+            pltpu.VMEM((slab, cx2), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),

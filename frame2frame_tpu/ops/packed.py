@@ -32,8 +32,18 @@ loop (blind_denoising.py:216-222).
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Measured (round 2, v5e): the pair-packed Pallas dW kernel (ops/conv_dw.py)
+# wins on f32 operands but LOSES on bf16 — its odd-row-offset flat-shift
+# slices force per-tap sublane relayout copies in Mosaic. The bf16 chain
+# therefore defaults to XLA's batch<->feature-swapped conv-dW (measured
+# ~1.7 ms/layer at 540p, same as f32 autodiff) unless explicitly re-enabled.
+_PALLAS_DW = os.environ.get("F2F_PALLAS_DW", "0") == "1"
 
 
 def pack_image(x):
@@ -84,15 +94,87 @@ def conv3x3_packed(x2, w, dtype=None):
     the conv operands; output is cast back to x2.dtype.
     """
     w2 = pack_kernel(w)
-    xp = jnp.pad(x2, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    if dtype is not None and xp.dtype != dtype:
+    if dtype is not None and x2.dtype != dtype:
         out = lax.conv_general_dilated(
-            xp.astype(dtype), w2.astype(dtype), (1, 1), [(0, 0), (0, 0)],
+            x2.astype(dtype), w2.astype(dtype), (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return out.astype(x2.dtype)
     return lax.conv_general_dilated(
-        xp, w2, (1, 1), [(0, 0), (0, 0)],
+        x2, w2, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def unpack_kernel_grad(dw2):
+    """Adjoint of ``pack_kernel``: (3, 3, 2Cin, 2Cout) -> (3, 3, Cin, Cout).
+
+    Sums the (dw2, p, q) blocks that ``pack_kernel`` mapped each original tap
+    to (tap dx = 2*dw2 + p - q - 1)."""
+    C = dw2.shape[2] // 2
+    D = dw2.shape[3] // 2
+    d0, d1, d2 = dw2[:, 0], dw2[:, 1], dw2[:, 2]
+    tap0 = d0[:, C:, :D] + d1[:, :C, D:]
+    tap1 = d1[:, :C, :D] + d1[:, C:, D:]
+    tap2 = d1[:, C:, :D] + d2[:, :C, D:]
+    return jnp.stack([tap0, tap1, tap2], axis=1)
+
+
+@jax.custom_vjp
+def conv3x3_packed_bf16(x2, w):
+    """3x3 SAME conv in packed space with an end-to-end bfloat16 data path.
+
+    x2: (B, H, W2, 2Cin) **bfloat16** packed activation; w: (3, 3, Cin, Cout)
+    float32 master weights. Returns bfloat16. Forward and dX convs run on
+    bf16 operands with bf16 outputs (half the HBM streaming of the f32 path —
+    the measured bottleneck of the online fine-tune, BASELINE.md); the weight
+    gradient is produced directly in float32 (``preferred_element_type``) via
+    a batch<->feature-swapped conv that needs no operand transposes, then
+    folded back onto the original taps. TPU execution layout for the
+    reference hot loop (blind_denoising.py:216-222).
+    """
+    w2 = pack_kernel(w).astype(jnp.bfloat16)
+    return lax.conv_general_dilated(
+        x2, w2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _packed_bf16_fwd(x2, w):
+    return conv3x3_packed_bf16(x2, w), (x2, w)
+
+
+def _packed_bf16_bwd(res, g):
+    x2, w = res
+    w2 = pack_kernel(w).astype(jnp.bfloat16)
+    # dX: SAME conv of the cotangent with the flipped, io-transposed kernel
+    w2t = jnp.flip(w2, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx2 = lax.conv_general_dilated(
+        g, w2t, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # dW: XLA's conv-dW re-streams x and g from HBM once PER TAP (9x traffic;
+    # measured ~2.5 ms/layer at 540p — the dominant cost of the online
+    # fine-tune step). The pair-packed Pallas kernel (ops/conv_dw.py) streams
+    # both operands exactly once and runs the nine tap matmuls from VMEM with
+    # f32 accumulation. Unpacking to (H, W, C) is a free reshape. Mosaic
+    # requires 128-aligned lane slices, so thin boundary layers (cin/cout not
+    # a multiple of 64 — e.g. DnCNN's 1-channel ends, where dW traffic is
+    # negligible anyway) fall back to the batch<->feature-swapped XLA conv.
+    B, H, W2, C2 = x2.shape
+    cin, cout = C2 // 2, g.shape[-1] // 2
+    if _PALLAS_DW and cin % 64 == 0 and cout % 64 == 0:
+        from .conv_dw import dw_conv3x3_batched
+
+        dw = dw_conv3x3_batched(x2.reshape(B, H, W2 * 2, cin),
+                                g.reshape(B, H, W2 * 2, cout))
+    else:
+        xp = jnp.pad(x2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dw2 = lax.conv_general_dilated(
+            xp, g, (1, 1), "VALID",
+            dimension_numbers=("CHWN", "IHWO", "HWNC"),
+            preferred_element_type=jnp.float32)  # (3, 3, 2Cin, 2Cout) f32
+        dw = unpack_kernel_grad(dw2)
+    return dx2, dw
+
+
+conv3x3_packed_bf16.defvjp(_packed_bf16_fwd, _packed_bf16_bwd)
 
 
 def fold_packed_stats(m2):
