@@ -134,19 +134,22 @@ class DnCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # "packed" (default): pair-packed 128-lane layout, ~1.35x faster fwd+bwd
     # at 540p (ops/packed.py); falls back to "xla" per call for odd widths.
+    # "fused": packed_bf16 flax graph + the fused Pallas training pipeline
+    # (ops/fused_stack.py) for the online fine-tune on TPU.
     # Others: "xla", "hybrid", "pallas", "bf16res", "packed_bf16".
     conv_impl: str = "packed"
     remat_every: int = 0  # >0: checkpoint every N middle layers (1080p finetune)
 
     @property
     def _packed(self):
-        return self.conv_impl in ("packed", "packed_bf16")
+        return self.conv_impl in ("packed", "packed_bf16", "fused")
 
     def _conv(self, features, name, packed):
         if packed:
-            cd = jnp.bfloat16 if self.conv_impl == "packed_bf16" else None
+            cd = (jnp.bfloat16 if self.conv_impl in ("packed_bf16", "fused")
+                  else None)
             return PackedConv3x3(features, compute_dtype=cd, name=name)
-        if self.conv_impl in ("xla", "packed", "packed_bf16"):
+        if self.conv_impl in ("xla", "packed", "packed_bf16", "fused"):
             # "packed" reaches here only as the odd-width per-call fallback;
             # parameter names/shapes are identical across implementations.
             return nn.Conv(features, (3, 3), padding="SAME", use_bias=False,
@@ -220,8 +223,13 @@ class DnCNN(nn.Module):
 
 
 def init_dncnn(key, channels=1, num_layers=17, residual=False, dtype=jnp.float32,
-               spatial=(64, 64), conv_impl="packed", remat_every=0):
-    """Initialize a DnCNN; returns (model, variables dict with params+batch_stats)."""
+               spatial=(64, 64), conv_impl="auto", remat_every=0):
+    """Initialize a DnCNN; returns (model, variables dict with params+batch_stats).
+
+    conv_impl="auto" resolves to the fused Pallas training pipeline on TPU
+    and the pair-packed XLA path elsewhere."""
+    if conv_impl == "auto":
+        conv_impl = "fused" if jax.default_backend() == "tpu" else "packed"
     model = DnCNN(channels=channels, num_layers=num_layers, residual=residual,
                   dtype=dtype, conv_impl=conv_impl, remat_every=remat_every)
     x = jnp.zeros((1, spatial[0], spatial[1], channels), dtype)

@@ -1,0 +1,502 @@
+"""Fused Pallas training pipeline for the DnCNN mid-stack (conv+BN+ReLU)^L.
+
+Why this exists (measured, round 2): with XLA convs the 540p online fine-tune
+iteration costs ~59 ms, of which only ~22 ms is convolution math — the other
+~35 ms is elementwise/layout traffic XLA emits around the convs (pad+ReLU
+fusions, ReLU-mask selects, BN-stat reductions, 5D layout copies; see the
+trace accounting in BASELINE.md). This module owns the whole layer pipeline
+in two Pallas kernels per layer so every elementwise op rides along with the
+matmuls:
+
+- **forward**: one kernel per layer reads the previous layer's raw conv
+  output ``z`` once, applies the previous BN affine + ReLU in VMEM, runs the
+  nine flat-shift matmuls of the pair-packed 3x3 conv (ops/packed.py layout),
+  writes ``z_i`` and accumulates per-channel (sum, sum-of-squares) for the
+  BN statistics — padding, BN, ReLU and stats all fused into one HBM pass.
+- **backward**: one kernel per layer reads (g_i, z_i, z_{i-1}), reconstructs
+  the ReLU mask and normalized activations in VMEM, forms dz (using the
+  pre-reduced per-channel BN reductions), computes dX (nine shifted matmuls
+  against the io-transposed kernel), dW (nine space-contractions, accumulated
+  in a revisited f32 block across tiles), and the *next* layer's BN backward
+  reductions in its epilogue — one pass per layer instead of XLA's ~six.
+
+Activation layout: flat pair-packed ``((T+2)*n, 128)`` bf16, where each image
+row occupies ``wpad = W2 + 2`` flat positions (W2 packed pairs + 1 zero pad
+pair each side) and ``n = tile_h * wpad``. One full zero tile is kept at the
+head and tail so every halo DMA ([i*n - off, i*n - off + n + 2*off)) is
+in-bounds and 16-row aligned; compute tiles mask invalid (pad) positions with
+a static column mask (tile starts are = 0 mod wpad, so the mask is
+tile-invariant) and a dynamic row-validity window. All matmul-sliced operands
+are kept f32 in VMEM (bf16 odd-offset slices force Mosaic sublane relayouts —
+measured dead end); the MXU still multiplies in bf16 via default dot
+precision, accumulating f32.
+
+Replaces no reference component 1:1 — this is the TPU execution engine for
+the reference hot loop (blind_denoising.py:216-222) and the DnCNN mid layers
+(lib/frame2frame/dncnn/net.py:13-22).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALIGN = 16  # bf16 sublane tile height: block rows and DMA starts stay aligned
+EPS = 1e-5
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# geometry
+
+
+class Geom:
+    """Static layout constants for one (H, W2, tile_h) configuration."""
+
+    def __init__(self, H, W2, tile_h):
+        assert W2 % 2 == 0
+        self.H, self.W2, self.tile_h = H, W2, tile_h
+        self.wpad = W2 + 2
+        self.n = tile_h * self.wpad
+        assert self.n % ALIGN == 0, (
+            f"tile rows {self.n} not {ALIGN}-aligned; pick tile_h such that "
+            f"tile_h*(W2+2) % {ALIGN} == 0")
+        self.T = -(-H // tile_h)
+        self.tot = (self.T + 2) * self.n
+        halo = self.wpad + 1
+        self.off = -(-halo // ALIGN) * ALIGN
+        assert self.n >= self.off
+        self.slab = self.n + 2 * self.off
+        self.shifts = tuple((dy - 1) * self.wpad + (dx - 1)
+                            for dy in range(3) for dx in range(3))
+        self.valid_lo = self.n
+        self.valid_hi = self.n + H * self.wpad
+        self.count = float(2 * H * W2)  # pixels per original channel
+
+
+def default_tile_h(W2):
+    """Smallest tile height with 16-aligned tile rows (8 for even wpad % 4)."""
+    for th in (8, 16, 32):
+        if (th * (W2 + 2)) % ALIGN == 0:
+            return th
+    return 16
+
+
+def to_flat(a2, g):
+    """(1, H, W2, 128) packed image -> flat ((T+2)*n, 128) with zero
+    head/tail tiles and zero pad columns. One traced pad+reshape (cheap)."""
+    _, H, W2, C2 = a2.shape
+    ap = jnp.pad(a2[0], ((0, g.T * g.tile_h - H), (1, 1), (0, 0)))
+    flat = ap.reshape(g.T * g.n, C2)
+    z = jnp.zeros((g.n, C2), flat.dtype)
+    return jnp.concatenate([z, flat, z], axis=0)
+
+
+def from_flat(flat, g):
+    """Inverse of to_flat: flat array -> (1, H, W2, 128). Drops pad cols
+    (which may hold garbage conv outputs — they are masked everywhere else)."""
+    body = flat[g.n:g.n + g.T * g.tile_h * g.wpad]
+    img = body.reshape(g.T * g.tile_h, g.wpad, flat.shape[-1])
+    return img[:g.H, 1:g.wpad - 1][None]
+
+
+def _col_mask(g):
+    """Static column masks (tile, slab): 0.0 at pad-pair flat positions."""
+    def ok(start, length):
+        pos = (np.arange(length) + start) % g.wpad
+        return ((pos != 0) & (pos != g.wpad - 1)).astype(np.float32)
+
+    return (jnp.asarray(ok(0, g.n)[:, None]),
+            jnp.asarray(ok(-g.off, g.slab)[:, None]))
+
+
+def pack_kernel_flat(w):
+    """(3, 3, 64, 64) -> (9, 128, 128) pair-packed taps (ops/packed.py block
+    structure: [c + 64p, d + 64q] nonzero iff 2*dw2 + p - q - 1 = dx)."""
+    from .packed import pack_kernel
+
+    return pack_kernel(w).reshape(9, 128, 128)
+
+
+def fold_dw2(dw2):
+    """Adjoint of pack_kernel_flat: (9, 2C, 2D) f32 -> (3, 3, C, D)."""
+    C = dw2.shape[1] // 2
+    D = dw2.shape[2] // 2
+    taps = []
+    for dy in range(3):
+        d0, d1, d2 = dw2[dy * 3], dw2[dy * 3 + 1], dw2[dy * 3 + 2]
+        tap0 = d0[C:, :D] + d1[:C, D:]   # dx=0: (dw2=0,p1,q0) + (dw2=1,p0,q1)
+        tap1 = d1[:C, :D] + d1[C:, D:]   # dx=1: (dw2=1,p0,q0) + (dw2=1,p1,q1)
+        tap2 = d1[C:, :D] + d2[:C, D:]   # dx=2: (dw2=1,p1,q0) + (dw2=2,p0,q1)
+        taps.append(jnp.stack([tap0, tap1, tap2]))
+    return jnp.stack(taps)
+
+
+def tile_vec(v):
+    """(64,) -> (128,) duplicated across the two packing parities."""
+    return jnp.concatenate([v, v])
+
+
+def fold_vec(v2):
+    """(128,) parity sums -> (64,): add the two parity copies."""
+    return v2[:64] + v2[64:]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+
+
+def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
+                z_out, stats_ref, zslab, aslab, sem, *, g):
+    i = pl.program_id(0)
+    n, off, slab = g.n, g.off, g.slab
+
+    @pl.when(i == 0)
+    def _():
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    @pl.when((i == 0) | (i == g.T + 1))
+    def _():
+        z_out[:] = jnp.zeros_like(z_out)
+
+    @pl.when((i > 0) & (i < g.T + 1))
+    def _():
+        # offset written as ALIGN * q so Mosaic can prove tile alignment
+        start = (i * (n // ALIGN) - off // ALIGN) * ALIGN
+        cp = pltpu.make_async_copy(
+            zprev_hbm.at[pl.ds(start, slab)], zslab, sem)
+        cp.start()
+        cp.wait()
+        s = vecs_ref[0, :]   # prev-layer BN scale (tiled to 128)
+        b = vecs_ref[1, :]   # prev-layer BN shift
+        # validity: global flat position within the real image rows
+        pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
+        valid = ((pos >= g.valid_lo) & (pos < g.valid_hi)).astype(jnp.float32)
+        aslab[:] = (jnp.maximum(zslab[:].astype(jnp.float32) * s + b, 0.0)
+                    * (valid * cmask_slab_ref[:]))
+
+        acc = jnp.zeros((n, 128), jnp.float32)
+        for t, sh in enumerate(g.shifts):
+            xs = aslab[off + sh:off + sh + n, :]
+            acc += lax.dot_general(
+                xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        z_out[:] = acc.astype(z_out.dtype)
+        # stats over valid interior positions (pad cols masked; trailing
+        # H-pad rows produce acc==0 since their inputs were masked to 0,
+        # except boundary leakage rows — mask them too)
+        m = cmask_slab_ref[off:off + n, :] * valid[off:off + n, :]
+        zc = acc * m
+        stats_ref[0, :] += jnp.sum(zc, axis=0)
+        stats_ref[1, :] += jnp.sum(zc * acc, axis=0)
+
+
+def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g):
+    """One fused mid-layer forward pass over the flat layout.
+
+    zprev_flat: ((T+2)*n, 128) bf16 — previous layer's raw conv output (or
+    the stack input in a-space with (s, b) = (1, 0));
+    w2_flat: (9, 128, 128) bf16 packed kernel; s_vec/b_vec: (128,) f32 BN
+    affine of the PREVIOUS layer (z -> a = relu(s*z + b)).
+
+    Returns (z_flat bf16, stats (2, 128) f32 = (sum z, sum z^2) per lane).
+    """
+    _, cmask_slab = _col_mask(g)
+    vecs = jnp.stack([s_vec, b_vec]).astype(jnp.float32)
+
+    z_flat, stats = pl.pallas_call(
+        partial(_fwd_kernel, g=g),
+        grid=(g.T + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g.n, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g.tot, 128), zprev_flat.dtype),
+            jax.ShapeDtypeStruct((2, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g.slab, 128), zprev_flat.dtype),
+            pltpu.VMEM((g.slab, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_slab)
+    return z_flat, stats
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+
+
+def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
+                da_out, dw2_ref, stats_ref, gslab, zislab, zpslab, dzslab,
+                apslab, sem_g, sem_zi, sem_zp, *, g, first_layer):
+    i = pl.program_id(0)
+    n, off, slab = g.n, g.off, g.slab
+
+    @pl.when(i == 0)
+    def _():
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    @pl.when((i == 0) | (i == g.T + 1))
+    def _():
+        da_out[:] = jnp.zeros_like(da_out)
+
+    @pl.when((i > 0) & (i < g.T + 1))
+    def _():
+        start = (i * (n // ALIGN) - off // ALIGN) * ALIGN
+        cg = pltpu.make_async_copy(g_hbm.at[pl.ds(start, slab)], gslab, sem_g)
+        ci = pltpu.make_async_copy(zi_hbm.at[pl.ds(start, slab)], zislab,
+                                   sem_zi)
+        cz = pltpu.make_async_copy(zp_hbm.at[pl.ds(start, slab)], zpslab,
+                                   sem_zp)
+        cg.start(); ci.start(); cz.start()
+
+        # vecs rows: 0 s_i, 1 b_i (this layer's BN affine, for the ReLU
+        # mask), 2 mean_i, 3 rstd_i, 4 gamma_i*rstd_i, 5 dbeta_i/M,
+        # 6 dgamma_i/M, 7 s_prev, 8 b_prev (the affine at this layer's
+        # input), 9 mean_prev, 10 rstd_prev
+        v = vecs_ref
+        pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
+        valid = ((pos >= g.valid_lo) & (pos < g.valid_hi)).astype(jnp.float32)
+        vm = valid * cmask_slab_ref[:]
+
+        cg.wait(); ci.wait()
+        zi = zislab[:].astype(jnp.float32)
+        relu_mask = ((zi * v[0, :] + v[1, :]) > 0.0).astype(jnp.float32)
+        gt = gslab[:].astype(jnp.float32) * relu_mask       # dL/dy
+        zhat = (zi - v[2, :]) * v[3, :]
+        dzslab[:] = (v[4, :] * (gt - v[5, :] - zhat * v[6, :])) * vm
+
+        # dX: da[q] = sum_t dz[q - shift_t] @ W2[t]^T(io)
+        acc = jnp.zeros((n, 128), jnp.float32)
+        for t, sh in enumerate(g.shifts):
+            ds = dzslab[off - sh:off - sh + n, :]
+            acc += lax.dot_general(
+                ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        da_out[:] = acc.astype(da_out.dtype)
+
+        # dW needs a_prev = relu(affine_prev(z_prev)) on interior rows only:
+        # sum_m a[m+s] dz[m] is re-indexed as sum_m a[m] dz[m-s], which is
+        # globally equivalent under the tile accumulation and lets the a
+        # scratch drop its halo (dz already has one)
+        cz.wait()
+        apslab[:] = (jnp.maximum(
+            zpslab[off:off + n, :].astype(jnp.float32) * v[7, :] + v[8, :],
+            0.0) * vm[off:off + n, :])
+        for t, sh in enumerate(g.shifts):
+            dsl = dzslab[off - sh:off - sh + n, :]
+            dw2_ref[t] += lax.dot_general(
+                apslab[:], dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if not first_layer:
+            # epilogue: BN-backward reductions for layer i-1 from the da we
+            # just produced: sum(gt_prev), sum(gt_prev * zhat_prev)
+            m = (cmask_slab_ref[off:off + n, :] * valid[off:off + n, :])
+            gp = acc * (apslab[:] > 0.0).astype(jnp.float32) * m
+            zhp = (zpslab[off:off + n, :].astype(jnp.float32)
+                   - v[9, :]) * v[10, :]
+            stats_ref[0, :] += jnp.sum(gp, axis=0)
+            stats_ref[1, :] += jnp.sum(gp * zhp, axis=0)
+
+
+def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
+              first_layer=False):
+    """One fused mid-layer backward pass.
+
+    g_flat: cotangent of a_i (this layer's post-ReLU output) in flat layout;
+    zi_flat / zprev_flat: saved raw conv outputs of layers i and i-1;
+    w2t_flat: (9, 128, 128) — packed kernel io-transposed per tap (NOT
+    tap-flipped: the kernel slices with -shift, which is the flip);
+    vecs: (11, 128) f32 per-channel vectors (see kernel comment).
+
+    Returns (da_prev_flat bf16, dw2 (9,128,128) f32, stats_prev (2,128) f32).
+    """
+    _, cmask_slab = _col_mask(g)
+
+    da, dw2, stats = pl.pallas_call(
+        partial(_bwd_kernel, g=g, first_layer=first_layer),
+        grid=(g.T + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((11, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g.n, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g.tot, 128), g_flat.dtype),
+            jax.ShapeDtypeStruct((9, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((2, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((g.slab, 128), jnp.float32),
+            pltpu.VMEM((g.n, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(g_flat, zi_flat, zprev_flat, w2t_flat.astype(g_flat.dtype), vecs,
+      cmask_slab)
+    return da, dw2, stats
+
+
+# ---------------------------------------------------------------------------
+# the differentiable mid-stack
+
+
+def _affine_from_stats(mean, var, gamma, beta):
+    rstd = lax.rsqrt(var + EPS)
+    s = gamma * rstd
+    return s, beta - mean * s, rstd
+
+
+def _io_t(w2_flat):
+    """(9, 128, 128) packed taps -> per-tap io transpose (for dX)."""
+    return w2_flat.transpose(0, 2, 1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_mid_stack(ws, gammas, betas, a1, H, tile_h,
+                    store_dtype=jnp.bfloat16):
+    """(conv3x3 + BatchNorm(train) + ReLU) ^ L over pair-packed activations.
+
+    ws: (L, 3, 3, 64, 64) f32; gammas/betas: (L, 64) f32;
+    a1: (1, H, W2, 128) packed post-ReLU stack input (W2 = W/2).
+    Returns (a_out (1, H, W2, 128) f32, means (L, 64), vars (L, 64)).
+
+    Semantics match the per-layer reference chain (net.py:13-22, torch
+    BatchNorm2d train mode: biased variance, eps=1e-5). Activations are
+    stored bf16 between layers (the established bf16-chain accuracy mode).
+    """
+    out, _ = _fused_fwd(ws, gammas, betas, a1, H, tile_h, store_dtype)
+    return out
+
+
+def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
+               store_dtype=jnp.bfloat16):
+    L = ws.shape[0]
+    g = Geom(H, a1.shape[2], tile_h)
+    a_flat = to_flat(a1.astype(store_dtype), g)
+
+    cur = a_flat
+    s_vec = jnp.ones((128,), jnp.float32)
+    b_vec = jnp.zeros((128,), jnp.float32)
+    z_list, means, vars_, svecs, bvecs = [], [], [], [], []
+    for i in range(L):
+        w2 = pack_kernel_flat(ws[i])
+        svecs.append(s_vec); bvecs.append(b_vec)
+        z, stats = fwd_layer(cur, w2, s_vec, b_vec, g)
+        m = fold_vec(stats[0]) / g.count
+        v = fold_vec(stats[1]) / g.count - jnp.square(m)
+        s64, b64, _ = _affine_from_stats(m, v, gammas[i], betas[i])
+        s_vec, b_vec = tile_vec(s64), tile_vec(b64)
+        z_list.append(z)
+        means.append(m); vars_.append(v)
+        cur = z
+
+    # final BN+ReLU applied outside (one elementwise pass at 1/30 the cost)
+    zL = from_flat(z_list[-1], g).astype(jnp.float32)
+    a_out = jnp.maximum(zL * s_vec + b_vec, 0.0)
+    means = jnp.stack(means); vars_ = jnp.stack(vars_)
+    res = (ws, gammas, betas, a_flat, tuple(z_list),
+           jnp.stack(svecs), jnp.stack(bvecs), means, vars_)
+    return (a_out, means, vars_), res
+
+
+def _fused_bwd(H, tile_h, store_dtype, res, cts):
+    da_out, _dm, _dv = cts  # stat cotangents are zero (stop_gradient updates)
+    ws, gammas, betas, a_flat, z_list, svecs, bvecs, means, vars_ = res
+    L = ws.shape[0]
+    g = Geom(H, da_out.shape[2], tile_h)
+
+    # cotangent of z_L through the final BN+ReLU (elementwise, XLA)
+    zL = from_flat(z_list[-1], g).astype(jnp.float32)
+    sL, bL, rstdL = _affine_from_stats(means[-1], vars_[-1],
+                                       gammas[-1], betas[-1])
+    sL2, bL2 = tile_vec(sL), tile_vec(bL)
+    mask = ((zL * sL2 + bL2) > 0.0).astype(jnp.float32)
+    gt = da_out.astype(jnp.float32) * mask
+    zhat = (zL - tile_vec(means[-1])) * tile_vec(rstdL)
+    dbeta = fold_vec(jnp.sum(gt, axis=(0, 1, 2)))
+    dgamma = fold_vec(jnp.sum(gt * zhat, axis=(0, 1, 2)))
+
+    g_flat = to_flat(da_out.astype(store_dtype), g)
+
+    dws, dgammas, dbetas = [None] * L, [None] * L, [None] * L
+    for i in range(L - 1, -1, -1):
+        if i + 1 < L:
+            s_i, b_i = svecs[i + 1], bvecs[i + 1]
+        else:
+            s_i, b_i = sL2, bL2
+        rstd_i = lax.rsqrt(vars_[i] + EPS)
+        vecs = jnp.stack([
+            s_i, b_i,
+            tile_vec(means[i]), tile_vec(rstd_i),
+            tile_vec(gammas[i] * rstd_i),
+            tile_vec(dbeta / g.count), tile_vec(dgamma / g.count),
+            svecs[i], bvecs[i],
+            tile_vec(means[i - 1]) if i > 0 else jnp.zeros((128,)),
+            tile_vec(lax.rsqrt(vars_[i - 1] + EPS)) if i > 0
+            else jnp.ones((128,)),
+        ]).astype(jnp.float32)
+        w2t = _io_t(pack_kernel_flat(ws[i]))
+        zprev = z_list[i - 1] if i > 0 else a_flat
+        da, dw2, stats = bwd_layer(g_flat, z_list[i], zprev, w2t, vecs, g,
+                                   first_layer=(i == 0))
+        dws[i] = fold_dw2(dw2)
+        dgammas[i] = dgamma
+        dbetas[i] = dbeta
+        if i > 0:
+            dbeta = fold_vec(stats[0])
+            dgamma = fold_vec(stats[1])
+        g_flat = da
+
+    da1 = from_flat(g_flat, g).astype(jnp.float32)
+    return (jnp.stack(dws), jnp.stack(dgammas), jnp.stack(dbetas), da1)
+
+
+fused_mid_stack.defvjp(
+    lambda ws, g, b, a1, H, th, sd: _fused_fwd(ws, g, b, a1, H, th, sd),
+    _fused_bwd)

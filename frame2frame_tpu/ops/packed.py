@@ -143,6 +143,7 @@ def _packed_bf16_fwd(x2, w):
 
 def _packed_bf16_bwd(res, g):
     x2, w = res
+    g = g.astype(x2.dtype)  # upstream may hand back an f32 cotangent
     w2 = pack_kernel(w).astype(jnp.bfloat16)
     # dX: SAME conv of the cotangent with the flipped, io-transposed kernel
     w2t = jnp.flip(w2, axis=(0, 1)).transpose(0, 1, 3, 2)

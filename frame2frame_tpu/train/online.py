@@ -19,6 +19,7 @@ TPU-native redesign of the reference pipeline:
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -60,7 +61,25 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None):
     if unroll is None:
         unroll = jax.default_backend() == "cpu"
 
+    def _use_fused(x):
+        # the fused Pallas pipeline (ops/fused_stack.py) carries the
+        # training-mode fine-tune on TPU; CPU keeps the XLA graph (interpret
+        # mode would be slower, and the parity tests pin the XLA path)
+        if getattr(model, "conv_impl", None) != "fused":
+            return False
+        if jax.default_backend() != "tpu" or os.environ.get("F2F_FUSED") == "0":
+            return False
+        from ..models.fused_apply import can_fuse
+
+        return can_fuse(model, (1,) + x.shape)
+
     def denoise(variables, x, train):
+        if train and _use_fused(x):
+            from ..models.fused_apply import fused_train_apply
+
+            y, new_bs = fused_train_apply(
+                model, variables["params"], variables["batch_stats"], x[None])
+            return (y[0] if residual_model else x - y[0]), new_bs
         out = model.apply(variables, x[None], train=train,
                           mutable=["batch_stats"] if train else False)
         if train:
@@ -106,6 +125,12 @@ class OnlineDenoiser:
 
     def __init__(self, model, variables, lr=5e-5, weight_decay=1e-5, iters=20,
                  residual_model=False):
+        if jax.default_backend() == "tpu":
+            # the fused Pallas pipeline takes minutes to compile cold; the
+            # persistent cache makes warm process start-up near-instant
+            from ..utils.compile_cache import enable_compile_cache
+
+            enable_compile_cache()
         self.model = model
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})

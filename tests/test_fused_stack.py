@@ -1,0 +1,161 @@
+"""Fused Pallas mid-stack (ops/fused_stack.py) vs a pure-JAX oracle.
+
+The oracle is the plain conv+BatchNorm(train)+ReLU chain the reference
+executes per mid layer (net.py:13-22, torch BatchNorm2d semantics: biased
+variance, eps=1e-5). With f32 activation storage and CPU interpret mode the
+fused kernels must reproduce values AND gradients to float tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from frame2frame_tpu.ops.fused_stack import Geom, fused_mid_stack
+from frame2frame_tpu.ops.packed import pack_image, unpack_image
+
+EPS = 1e-5
+
+
+def ref_stack(ws, gammas, betas, a1):
+    """Oracle: (1, H, W, 64) f32 -> (out, means, vars)."""
+    cur = a1
+    means, vars_ = [], []
+    for i in range(ws.shape[0]):
+        z = lax.conv_general_dilated(
+            cur, ws[i], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        m = jnp.mean(z, axis=(0, 1, 2))
+        v = jnp.mean(jnp.square(z), axis=(0, 1, 2)) - jnp.square(m)
+        zh = (z - m) * lax.rsqrt(v + EPS)
+        cur = jax.nn.relu(gammas[i] * zh + betas[i])
+        means.append(m)
+        vars_.append(v)
+    return cur, jnp.stack(means), jnp.stack(vars_)
+
+
+def make_inputs(L=3, H=12, W=32, seed=0):
+    rng = np.random.default_rng(seed)
+    ws = jnp.asarray(rng.standard_normal((L, 3, 3, 64, 64)) * 0.08,
+                     jnp.float32)
+    gammas = jnp.asarray(1.0 + 0.2 * rng.standard_normal((L, 64)), jnp.float32)
+    betas = jnp.asarray(0.1 * rng.standard_normal((L, 64)), jnp.float32)
+    a1 = jnp.asarray(np.abs(rng.standard_normal((1, H, W, 64))), jnp.float32)
+    return ws, gammas, betas, a1
+
+
+@pytest.mark.parametrize("H,W,L", [(12, 32, 3), (9, 20, 2)])
+def test_fused_forward_matches_oracle(H, W, L):
+    ws, gammas, betas, a1 = make_inputs(L=L, H=H, W=W)
+    out_ref, m_ref, v_ref = ref_stack(ws, gammas, betas, a1)
+
+    a1p = pack_image(a1)
+    out, m, v = fused_mid_stack(ws, gammas, betas, a1p, H, 8, jnp.float32)
+    out = unpack_image(out)
+
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gradients_match_oracle():
+    H, W, L = 12, 32, 3
+    ws, gammas, betas, a1 = make_inputs(L=L, H=H, W=W, seed=1)
+    rng = np.random.default_rng(2)
+    gref = jnp.asarray(rng.standard_normal((1, H, W, 64)), jnp.float32)
+
+    def loss_ref(ws, gammas, betas, a1):
+        out, _, _ = ref_stack(ws, gammas, betas, a1)
+        return jnp.sum(out * gref)
+
+    def loss_fused(ws, gammas, betas, a1):
+        out, _, _ = fused_mid_stack(ws, gammas, betas, pack_image(a1), H, 8,
+                                    jnp.float32)
+        return jnp.sum(unpack_image(out) * gref)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(ws, gammas, betas, a1)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(ws, gammas, betas, a1)
+    names = ["dW", "dgamma", "dbeta", "da1"]
+    for name, r, f in zip(names, gr, gf):
+        r, f = np.asarray(r), np.asarray(f)
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(f / scale, r / scale, atol=2e-5,
+                                   err_msg=name)
+
+
+def test_geom_alignment():
+    g = Geom(540, 480, 8)
+    assert g.n % 16 == 0 and g.off % 16 == 0 and g.slab % 16 == 0
+    assert g.off >= g.wpad + 1
+    # head zero tile covers the largest halo underrun
+    assert g.n >= g.off
+
+
+def test_fused_train_apply_matches_model():
+    """fused_train_apply == model.apply(train=True) incl. batch-stat update
+    (f32 storage, CPU interpret -> float tolerance)."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import can_fuse, fused_train_apply
+
+    H, W = 16, 32
+    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                  num_layers=5, conv_impl="packed",
+                                  spatial=(H, W))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, H, W, 1)), jnp.float32)
+    assert can_fuse(model, x.shape)
+
+    y_ref, upd = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    y, new_bs = fused_train_apply(model, variables["params"],
+                                  variables["batch_stats"], x,
+                                  store_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    for k, v in upd["batch_stats"].items():
+        np.testing.assert_allclose(np.asarray(new_bs[k]["mean"]),
+                                   np.asarray(v["mean"]), rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(np.asarray(new_bs[k]["var"]),
+                                   np.asarray(v["var"]), rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+
+
+def test_fused_train_apply_gradients():
+    """Parameter gradients through fused_train_apply match the flax model."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import fused_train_apply
+
+    H, W = 16, 32
+    model, variables = init_dncnn(jax.random.PRNGKey(1), channels=1,
+                                  num_layers=5, conv_impl="packed",
+                                  spatial=(H, W))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, H, W, 1)), jnp.float32)
+    tgt = jnp.asarray(rng.random((1, H, W, 1)), jnp.float32)
+
+    def loss_ref(p):
+        y, _ = model.apply({"params": p,
+                            "batch_stats": variables["batch_stats"]},
+                           x, train=True, mutable=["batch_stats"])
+        return jnp.sum(jnp.abs(y - tgt))
+
+    def loss_fused(p):
+        y, _ = fused_train_apply(model, p, variables["batch_stats"], x,
+                                 store_dtype=jnp.float32)
+        return jnp.sum(jnp.abs(y - tgt))
+
+    gr = jax.grad(loss_ref)(variables["params"])
+    gf = jax.grad(loss_fused)(variables["params"])
+    flat_r = jax.tree_util.tree_leaves_with_path(gr)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, r in flat_r:
+        f = flat_f[path]
+        r, f = np.asarray(r), np.asarray(f)
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(f / scale, r / scale, atol=5e-5,
+                                   err_msg=str(path))
