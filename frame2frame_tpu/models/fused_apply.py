@@ -80,3 +80,55 @@ def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
 
     out = x - noise if model.residual else noise
     return out, new_bs
+
+
+def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
+    """Eval-mode DnCNN forward on the fused pipeline (running statistics,
+    no stat updates) — the final per-frame denoise (blind_denoising.py:229).
+
+    Reuses the training forward kernel (its stats epilogue is ~free), so no
+    extra Mosaic compilation beyond the training step's.
+    """
+    from ..ops.fused_stack import (
+        Geom,
+        _affine_from_stats,
+        from_flat,
+        fwd_layer,
+        pack_kernel_flat,
+        tile_vec,
+        to_flat,
+    )
+
+    B, H, W, C = x.shape
+    nmid = model.num_layers - 2
+    bf16 = store_dtype == jnp.bfloat16
+    if bf16:
+        def end_conv(x2, w):
+            return conv3x3_packed_bf16(x2.astype(jnp.bfloat16), w)
+    else:
+        from ..ops.packed import conv3x3_packed as _cp
+
+        def end_conv(x2, w):
+            return _cp(x2.astype(store_dtype), w)
+
+    x2 = pack_image(x)
+    a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
+    tile_h = default_tile_h(W // 2)
+    g = Geom(H, W // 2, tile_h)
+
+    cur = to_flat(a1.astype(store_dtype), g)
+    s_vec = jnp.ones((128,), jnp.float32)
+    b_vec = jnp.zeros((128,), jnp.float32)
+    for i in range(nmid):
+        w2 = pack_kernel_flat(params[f"conv_{i}"]["kernel"])
+        cur, _ = fwd_layer(cur, w2, s_vec, b_vec, g)
+        s64, b64, _ = _affine_from_stats(
+            batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
+            params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
+        s_vec, b_vec = tile_vec(s64), tile_vec(b64)
+
+    a_out = from_flat(
+        jnp.maximum(cur.astype(jnp.float32) * s_vec + b_vec, 0.0), g)
+    noise2 = end_conv(a_out, params["conv_out"]["kernel"])
+    noise = unpack_image(noise2).astype(jnp.float32)
+    return x - noise if model.residual else noise

@@ -155,6 +155,15 @@ def fold_vec(v2):
 # forward kernel
 
 
+def _slab_dma(hbm, slabs, sems, j, slot, g):
+    """Copy descriptor for tile j's halo slab into double buffer ``slot``.
+
+    The offset is written as ALIGN * q so Mosaic can prove tile alignment."""
+    start = (j * (g.n // ALIGN) - g.off // ALIGN) * ALIGN
+    return pltpu.make_async_copy(
+        hbm.at[pl.ds(start, g.slab)], slabs.at[slot], sems.at[slot])
+
+
 def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
                 z_out, stats_ref, zslab, aslab, sem, *, g):
     i = pl.program_id(0)
@@ -163,30 +172,30 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
     @pl.when(i == 0)
     def _():
         stats_ref[:] = jnp.zeros_like(stats_ref)
+        # prefetch the first compute tile while this zero tile writes out
+        _slab_dma(zprev_hbm, zslab, sem, 1, 1, g).start()
 
     @pl.when((i == 0) | (i == g.T + 1))
     def _():
         z_out[:] = jnp.zeros_like(z_out)
 
-    @pl.when((i > 0) & (i < g.T + 1))
-    def _():
-        # offset written as ALIGN * q so Mosaic can prove tile alignment
+    def compute(slot):
+        # static parity: all refs statically addressed (see _bwd_kernel),
+        # and the doubled aslab breaks the write-after-read hazard so tile
+        # i+1's VPU work overlaps tile i's matmuls
+        zs, as_ = zslab.at[slot], aslab.at[slot]
         start = (i * (n // ALIGN) - off // ALIGN) * ALIGN
-        cp = pltpu.make_async_copy(
-            zprev_hbm.at[pl.ds(start, slab)], zslab, sem)
-        cp.start()
-        cp.wait()
         s = vecs_ref[0, :]   # prev-layer BN scale (tiled to 128)
         b = vecs_ref[1, :]   # prev-layer BN shift
         # validity: global flat position within the real image rows
         pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
         valid = ((pos >= g.valid_lo) & (pos < g.valid_hi)).astype(jnp.float32)
-        aslab[:] = (jnp.maximum(zslab[:].astype(jnp.float32) * s + b, 0.0)
-                    * (valid * cmask_slab_ref[:]))
+        as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
+                  * (valid * cmask_slab_ref[:]))
 
         acc = jnp.zeros((n, 128), jnp.float32)
         for t, sh in enumerate(g.shifts):
-            xs = aslab[off + sh:off + sh + n, :]
+            xs = as_[off + sh:off + sh + n, :]
             acc += lax.dot_general(
                 xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -198,6 +207,16 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         zc = acc * m
         stats_ref[0, :] += jnp.sum(zc, axis=0)
         stats_ref[1, :] += jnp.sum(zc * acc, axis=0)
+
+    for slot in (0, 1):
+        @pl.when((i > 0) & (i < g.T + 1) & (lax.rem(i, 2) == slot))
+        def _(slot=slot):
+            @pl.when(i < g.T)
+            def _():
+                _slab_dma(zprev_hbm, zslab, sem, i + 1, 1 - slot, g).start()
+
+            _slab_dma(zprev_hbm, zslab, sem, i, slot, g).wait()
+            compute(slot)
 
 
 def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g):
@@ -234,9 +253,9 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g):
             jax.ShapeDtypeStruct((2, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g.slab, 128), zprev_flat.dtype),
-            pltpu.VMEM((g.slab, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, g.slab, 128), zprev_flat.dtype),
+            pltpu.VMEM((2, g.slab, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
@@ -255,45 +274,49 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
 
+    def dmas(j, slot):
+        return (_slab_dma(g_hbm, gslab, sem_g, j, slot, g),
+                _slab_dma(zi_hbm, zislab, sem_zi, j, slot, g),
+                _slab_dma(zp_hbm, zpslab, sem_zp, j, slot, g))
+
     @pl.when(i == 0)
     def _():
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
         stats_ref[:] = jnp.zeros_like(stats_ref)
+        for cp in dmas(1, 1):
+            cp.start()
 
     @pl.when((i == 0) | (i == g.T + 1))
     def _():
         da_out[:] = jnp.zeros_like(da_out)
 
-    @pl.when((i > 0) & (i < g.T + 1))
-    def _():
+    def compute(slot):
+        # ``slot`` is a Python int, so every ref below is statically
+        # addressed — a dynamically slot-indexed variant measured ~25% slower
+        # (Mosaic falls off the vectorized path); the price is two copies of
+        # the body (one per parity)
+        gs, zis, zps = gslab.at[slot], zislab.at[slot], zpslab.at[slot]
+        dzs, aps = dzslab.at[slot], apslab.at[slot]
         start = (i * (n // ALIGN) - off // ALIGN) * ALIGN
-        cg = pltpu.make_async_copy(g_hbm.at[pl.ds(start, slab)], gslab, sem_g)
-        ci = pltpu.make_async_copy(zi_hbm.at[pl.ds(start, slab)], zislab,
-                                   sem_zi)
-        cz = pltpu.make_async_copy(zp_hbm.at[pl.ds(start, slab)], zpslab,
-                                   sem_zp)
-        cg.start(); ci.start(); cz.start()
-
-        # vecs rows: 0 s_i, 1 b_i (this layer's BN affine, for the ReLU
-        # mask), 2 mean_i, 3 rstd_i, 4 gamma_i*rstd_i, 5 dbeta_i/M,
-        # 6 dgamma_i/M, 7 s_prev, 8 b_prev (the affine at this layer's
-        # input), 9 mean_prev, 10 rstd_prev
+        # vecs rows (prefolded on the host so dz is one fma chain):
+        # 0 A = gamma_i*rstd_i (also the ReLU-mask scale), 1 b_i,
+        # 2 B = -gamma_i*rstd_i^2*dgamma_i/M,
+        # 3 C = gamma_i*rstd_i*(mean_i*rstd_i*dgamma_i/M - dbeta_i/M),
+        # 4 s_prev, 5 b_prev, 6 rstd_prev, 7 -mean_prev*rstd_prev
         v = vecs_ref
         pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
         valid = ((pos >= g.valid_lo) & (pos < g.valid_hi)).astype(jnp.float32)
         vm = valid * cmask_slab_ref[:]
 
-        cg.wait(); ci.wait()
-        zi = zislab[:].astype(jnp.float32)
+        zi = zis[:].astype(jnp.float32)
         relu_mask = ((zi * v[0, :] + v[1, :]) > 0.0).astype(jnp.float32)
-        gt = gslab[:].astype(jnp.float32) * relu_mask       # dL/dy
-        zhat = (zi - v[2, :]) * v[3, :]
-        dzslab[:] = (v[4, :] * (gt - v[5, :] - zhat * v[6, :])) * vm
+        gt = gs[:].astype(jnp.float32) * relu_mask       # dL/dy
+        dzs[:] = (v[0, :] * gt + v[2, :] * zi + v[3, :]) * vm
 
         # dX: da[q] = sum_t dz[q - shift_t] @ W2[t]^T(io)
         acc = jnp.zeros((n, 128), jnp.float32)
         for t, sh in enumerate(g.shifts):
-            ds = dzslab[off - sh:off - sh + n, :]
+            ds = dzs[off - sh:off - sh + n, :]
             acc += lax.dot_general(
                 ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -303,25 +326,35 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         # sum_m a[m+s] dz[m] is re-indexed as sum_m a[m] dz[m-s], which is
         # globally equivalent under the tile accumulation and lets the a
         # scratch drop its halo (dz already has one)
-        cz.wait()
-        apslab[:] = (jnp.maximum(
-            zpslab[off:off + n, :].astype(jnp.float32) * v[7, :] + v[8, :],
-            0.0) * vm[off:off + n, :])
+        aps[:] = (jnp.maximum(
+            zps[off:off + n, :].astype(jnp.float32) * v[4, :]
+            + v[5, :], 0.0) * vm[off:off + n, :])
         for t, sh in enumerate(g.shifts):
-            dsl = dzslab[off - sh:off - sh + n, :]
+            dsl = dzs[off - sh:off - sh + n, :]
             dw2_ref[t] += lax.dot_general(
-                apslab[:], dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                aps[:], dsl, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         if not first_layer:
             # epilogue: BN-backward reductions for layer i-1 from the da we
             # just produced: sum(gt_prev), sum(gt_prev * zhat_prev)
             m = (cmask_slab_ref[off:off + n, :] * valid[off:off + n, :])
-            gp = acc * (apslab[:] > 0.0).astype(jnp.float32) * m
-            zhp = (zpslab[off:off + n, :].astype(jnp.float32)
-                   - v[9, :]) * v[10, :]
+            gp = acc * (aps[:] > 0.0).astype(jnp.float32) * m
+            zhp = zps[off:off + n, :].astype(jnp.float32) * v[6, :] + v[7, :]
             stats_ref[0, :] += jnp.sum(gp, axis=0)
             stats_ref[1, :] += jnp.sum(gp * zhp, axis=0)
+
+    for slot in (0, 1):
+        @pl.when((i > 0) & (i < g.T + 1) & (lax.rem(i, 2) == slot))
+        def _(slot=slot):
+            @pl.when(i < g.T)
+            def _():
+                for cp in dmas(i + 1, 1 - slot):
+                    cp.start()
+
+            for cp in dmas(i, slot):
+                cp.wait()
+            compute(slot)
 
 
 def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
@@ -332,7 +365,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
     zi_flat / zprev_flat: saved raw conv outputs of layers i and i-1;
     w2t_flat: (9, 128, 128) — packed kernel io-transposed per tap (NOT
     tap-flipped: the kernel slices with -shift, which is the flip);
-    vecs: (11, 128) f32 per-channel vectors (see kernel comment).
+    vecs: (8, 128) f32 prefolded per-channel vectors (see kernel comment).
 
     Returns (da_prev_flat bf16, dw2 (9,128,128) f32, stats_prev (2,128) f32).
     """
@@ -347,7 +380,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((11, 128), lambda i: (0, 0),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -365,14 +398,14 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             jax.ShapeDtypeStruct((2, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g.slab, 128), g_flat.dtype),
-            pltpu.VMEM((g.slab, 128), g_flat.dtype),
-            pltpu.VMEM((g.slab, 128), g_flat.dtype),
-            pltpu.VMEM((g.slab, 128), jnp.float32),
-            pltpu.VMEM((g.n, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((2, g.slab, 128), jnp.float32),
+            pltpu.VMEM((2, g.n, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
@@ -436,9 +469,11 @@ def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
         means.append(m); vars_.append(v)
         cur = z
 
-    # final BN+ReLU applied outside (one elementwise pass at 1/30 the cost)
-    zL = from_flat(z_list[-1], g).astype(jnp.float32)
-    a_out = jnp.maximum(zL * s_vec + b_vec, 0.0)
+    # final BN+ReLU applied outside, in FLAT space — the ((T+2)n, 128) view
+    # keeps (8, 128) tiles, where the (1, H, W2, 128) image view costs ~2x in
+    # degenerate tilings; from_flat then drops pad rows/cols
+    zf = z_list[-1].astype(jnp.float32)
+    a_out = from_flat(jnp.maximum(zf * s_vec + b_vec, 0.0), g)
     means = jnp.stack(means); vars_ = jnp.stack(vars_)
     res = (ws, gammas, betas, a_flat, tuple(z_list),
            jnp.stack(svecs), jnp.stack(bvecs), means, vars_)
@@ -451,18 +486,19 @@ def _fused_bwd(H, tile_h, store_dtype, res, cts):
     L = ws.shape[0]
     g = Geom(H, da_out.shape[2], tile_h)
 
-    # cotangent of z_L through the final BN+ReLU (elementwise, XLA)
-    zL = from_flat(z_list[-1], g).astype(jnp.float32)
+    # cotangent of z_L through the final BN+ReLU, reduced in FLAT space (the
+    # image view's degenerate tilings cost ~3x on these reductions); pad
+    # positions contribute zero because to_flat zero-fills the cotangent
     sL, bL, rstdL = _affine_from_stats(means[-1], vars_[-1],
                                        gammas[-1], betas[-1])
     sL2, bL2 = tile_vec(sL), tile_vec(bL)
-    mask = ((zL * sL2 + bL2) > 0.0).astype(jnp.float32)
-    gt = da_out.astype(jnp.float32) * mask
-    zhat = (zL - tile_vec(means[-1])) * tile_vec(rstdL)
-    dbeta = fold_vec(jnp.sum(gt, axis=(0, 1, 2)))
-    dgamma = fold_vec(jnp.sum(gt * zhat, axis=(0, 1, 2)))
-
     g_flat = to_flat(da_out.astype(store_dtype), g)
+    zLf = z_list[-1].astype(jnp.float32)
+    mask = ((zLf * sL2 + bL2) > 0.0).astype(jnp.float32)
+    gt = g_flat.astype(jnp.float32) * mask
+    zhat = (zLf - tile_vec(means[-1])) * tile_vec(rstdL)
+    dbeta = fold_vec(jnp.sum(gt, axis=0))
+    dgamma = fold_vec(jnp.sum(gt * zhat, axis=0))
 
     dws, dgammas, dbetas = [None] * L, [None] * L, [None] * L
     for i in range(L - 1, -1, -1):
@@ -471,15 +507,17 @@ def _fused_bwd(H, tile_h, store_dtype, res, cts):
         else:
             s_i, b_i = sL2, bL2
         rstd_i = lax.rsqrt(vars_[i] + EPS)
+        A = gammas[i] * rstd_i
+        B = -A * rstd_i * (dgamma / g.count)
+        C = A * (means[i] * rstd_i * (dgamma / g.count) - dbeta / g.count)
+        if i > 0:
+            rstd_p = lax.rsqrt(vars_[i - 1] + EPS)
+            D, E = tile_vec(rstd_p), tile_vec(-means[i - 1] * rstd_p)
+        else:
+            D, E = jnp.ones((128,)), jnp.zeros((128,))
         vecs = jnp.stack([
-            s_i, b_i,
-            tile_vec(means[i]), tile_vec(rstd_i),
-            tile_vec(gammas[i] * rstd_i),
-            tile_vec(dbeta / g.count), tile_vec(dgamma / g.count),
-            svecs[i], bvecs[i],
-            tile_vec(means[i - 1]) if i > 0 else jnp.zeros((128,)),
-            tile_vec(lax.rsqrt(vars_[i - 1] + EPS)) if i > 0
-            else jnp.ones((128,)),
+            s_i, b_i, tile_vec(B), tile_vec(C),
+            svecs[i], bvecs[i], D, E,
         ]).astype(jnp.float32)
         w2t = _io_t(pack_kernel_flat(ws[i]))
         zprev = z_list[i - 1] if i > 0 else a_flat

@@ -74,12 +74,17 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None):
         return can_fuse(model, (1,) + x.shape)
 
     def denoise(variables, x, train):
-        if train and _use_fused(x):
-            from ..models.fused_apply import fused_train_apply
+        if _use_fused(x):
+            from ..models.fused_apply import fused_eval_apply, fused_train_apply
 
-            y, new_bs = fused_train_apply(
-                model, variables["params"], variables["batch_stats"], x[None])
-            return (y[0] if residual_model else x - y[0]), new_bs
+            if train:
+                y, new_bs = fused_train_apply(
+                    model, variables["params"], variables["batch_stats"],
+                    x[None])
+                return (y[0] if residual_model else x - y[0]), new_bs
+            y = fused_eval_apply(model, variables["params"],
+                                 variables["batch_stats"], x[None])
+            return y[0] if residual_model else x - y[0]
         out = model.apply(variables, x[None], train=train,
                           mutable=["batch_stats"] if train else False)
         if train:
@@ -100,7 +105,13 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None):
                 deno, new_bs = denoise({"params": p, "batch_stats": batch_stats},
                                        cur, train=True)
                 # summed L1 (nn.L1Loss(size_average=False), blind_denoising.py:47)
-                loss = jnp.sum(jnp.abs(mask * deno - target))
+                # computed on (H, W*C) 2D views: 1-channel (H, W, 1) arrays get
+                # degenerate (1, 128)/(2, 128) TPU tilings that cost ~2 ms per
+                # reduction; the 2D view restores (8, 128) tiles
+                H, W, C = deno.shape
+                d2 = deno.reshape(H, W * C)
+                loss = jnp.sum(jnp.abs(mask.reshape(H, W * C) * d2
+                                       - target.reshape(H, W * C)))
                 return loss, new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

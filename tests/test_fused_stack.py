@@ -159,3 +159,24 @@ def test_fused_train_apply_gradients():
         scale = np.abs(r).max() + 1e-8
         np.testing.assert_allclose(f / scale, r / scale, atol=5e-5,
                                    err_msg=str(path))
+
+
+def test_fused_eval_apply_matches_model():
+    """fused_eval_apply == model.apply(train=False) (f32 storage, CPU)."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import fused_eval_apply
+
+    H, W = 16, 32
+    model, variables = init_dncnn(jax.random.PRNGKey(2), channels=1,
+                                  num_layers=5, conv_impl="packed",
+                                  spatial=(H, W))
+    # non-trivial running stats
+    bs = jax.tree_util.tree_map(lambda v: v + 0.05, variables["batch_stats"])
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, H, W, 1)), jnp.float32)
+    y_ref = model.apply({"params": variables["params"], "batch_stats": bs},
+                        x, train=False)
+    y = fused_eval_apply(model, variables["params"], bs, x,
+                         store_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
