@@ -46,6 +46,10 @@ def build_parser():
     parser.add_argument("--remat", type=int, default=-1,
                         help="checkpoint every N layers during fine-tune "
                         "(-1 = auto: 4 for frames >= ~1MP, else off)")
+    parser.add_argument("--profile", type=str, default="",
+                        help="capture a jax.profiler device trace into this "
+                        "directory (view in TensorBoard/Perfetto) and write "
+                        "a pprof HBM profile next to it")
     return parser
 
 
@@ -79,23 +83,28 @@ def main(argv=None):
 
             variables = load_variables(args.network, like=variables)
 
-    results = run_blind_denoising(
-        model,
-        variables,
-        input_tmpl=args.input,
-        flow_tmpl=args.flow or None,
-        ref_tmpl=args.ref or None,
-        output_tmpl=args.output,
-        output_psnr=args.output_psnr,
-        output_network=args.output_network,
-        first=args.first,
-        last=args.last,
-        iters=args.iter,
-        lr=args.lr,
-        weight_decay=args.weight_decay,
-        compute_flow=args.compute_flow or not args.flow,
-        progress=True,
-    )
+    from ..utils.profiling import trace_if, write_memory_profile
+
+    with trace_if(args.profile):
+        results = run_blind_denoising(
+            model,
+            variables,
+            input_tmpl=args.input,
+            flow_tmpl=args.flow or None,
+            ref_tmpl=args.ref or None,
+            output_tmpl=args.output,
+            output_psnr=args.output_psnr,
+            output_network=args.output_network,
+            first=args.first,
+            last=args.last,
+            iters=args.iter,
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            compute_flow=args.compute_flow or not args.flow,
+            progress=True,
+        )
+    if args.profile:
+        write_memory_profile(args.profile.rstrip("/") + "/device_mem.pprof")
     return results
 
 

@@ -40,6 +40,7 @@ def test_pairs():
         "internal_adapt_nepochs": 0, "nframes": 0, "read_flows": False,
         "save_deno": True, "bench_bwd": False, "append_noise_map": False,
         "crit_name": "warp", "vid_name": "vid00", "sigma": 25,
+        "profile_dir": "",  # capture a jax.profiler device trace here
     }
 
 
@@ -52,6 +53,7 @@ def run(cfg):
 
     set_seed(tcfg.seed)
     imax = 255.0
+    from ..utils.profiling import trace_if
 
     results = Config()
     for k in ("psnrs", "ssims", "strred", "psnrs_pp", "ssims_pp", "strred_pp",
@@ -72,6 +74,9 @@ def run(cfg):
     indices = filter_subseq(dset, tcfg.vid_name, tcfg.frame_start, tcfg.frame_end)
 
     burn_in = tcfg.burn_in
+    import contextlib
+    prof = contextlib.ExitStack()
+    prof.enter_context(trace_if(tcfg.profile_dir))
     for index in indices:
         timer = ExpTimer()
         memer = GpuMemer()
@@ -219,6 +224,7 @@ def run(cfg):
         for name, t in timer.items():
             results.setdefault(name, []).append(t)
 
+    prof.close()
     return results
 
 
