@@ -63,7 +63,7 @@ class Geom:
     """Static layout constants for one (H, W2, tile_h) configuration."""
 
     def __init__(self, H, W2, tile_h):
-        assert W2 % 2 == 0
+        # (pair packing requires even W; W2 = W/2 itself may be odd)
         self.H, self.W2, self.tile_h = H, W2, tile_h
         self.wpad = W2 + 2
         self.n = tile_h * self.wpad
@@ -193,12 +193,15 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
                   * (valid * cmask_slab_ref[:]))
 
-        acc = jnp.zeros((n, 128), jnp.float32)
+        # three independent partial accumulators break the serial add chain
+        # between consecutive dots so the MXU pipeline stays full
+        parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         for t, sh in enumerate(g.shifts):
             xs = as_[off + sh:off + sh + n, :]
-            acc += lax.dot_general(
+            parts[t % 3] += lax.dot_general(
                 xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        acc = parts[0] + parts[1] + parts[2]
         z_out[:] = acc.astype(z_out.dtype)
         # stats over valid interior positions (pad cols masked; trailing
         # H-pad rows produce acc==0 since their inputs were masked to 0,
@@ -313,13 +316,15 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         gt = gs[:].astype(jnp.float32) * relu_mask       # dL/dy
         dzs[:] = (v[0, :] * gt + v[2, :] * zi + v[3, :]) * vm
 
-        # dX: da[q] = sum_t dz[q - shift_t] @ W2[t]^T(io)
-        acc = jnp.zeros((n, 128), jnp.float32)
+        # dX: da[q] = sum_t dz[q - shift_t] @ W2[t]^T(io); three partial
+        # accumulators break the serial add chain (see forward kernel)
+        parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         for t, sh in enumerate(g.shifts):
             ds = dzs[off - sh:off - sh + n, :]
-            acc += lax.dot_general(
+            parts[t % 3] += lax.dot_general(
                 ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        acc = parts[0] + parts[1] + parts[2]
         da_out[:] = acc.astype(da_out.dtype)
 
         # dW needs a_prev = relu(affine_prev(z_prev)) on interior rows only:

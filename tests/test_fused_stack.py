@@ -180,3 +180,24 @@ def test_fused_eval_apply_matches_model():
                          store_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_odd_w2():
+    """W = 2*W2 with odd W2 (e.g. W=28 -> W2=14... use W=30 -> W2=15):
+    the flat layout only needs even W, not even W2."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import can_fuse, fused_train_apply
+
+    H, W = 16, 30  # W2 = 15 (odd), wpad = 17, tile_h 16 -> n = 272
+    model, variables = init_dncnn(jax.random.PRNGKey(3), channels=1,
+                                  num_layers=4, conv_impl="packed",
+                                  spatial=(H, W))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((1, H, W, 1)), jnp.float32)
+    assert can_fuse(model, x.shape)
+    y_ref, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    y, _ = fused_train_apply(model, variables["params"],
+                             variables["batch_stats"], x,
+                             store_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)

@@ -500,3 +500,27 @@ def test_run_exps_dispatch_and_wandb(tmp_path):
         assert lines[0]["event"] == "init" and lines[1]["event"] == "summary"
     finally:
         sys.path.remove(str(tmp_path))
+
+
+def test_profiling_helpers(tmp_path):
+    """trace_if captures a device trace; memory profile writes pprof bytes."""
+    import jax.numpy as jnp
+
+    from frame2frame_tpu.utils.profiling import (
+        annotate,
+        peak_device_memory_mb,
+        trace_if,
+        write_memory_profile,
+    )
+
+    # no-op path
+    with trace_if(""):
+        pass
+    tdir = tmp_path / "trace"
+    with trace_if(str(tdir)):
+        with annotate("stage"):
+            jnp.sum(jnp.ones((64, 64))).block_until_ready()
+    assert any(tdir.rglob("*.trace.json.gz")), "no trace captured"
+    p = write_memory_profile(str(tmp_path / "mem.pprof"))
+    assert (tmp_path / "mem.pprof").stat().st_size > 0
+    peak_device_memory_mb()  # smoke: must not raise
