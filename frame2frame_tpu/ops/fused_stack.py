@@ -262,7 +262,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g):
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_slab)
     return z_flat, stats
 
@@ -414,7 +414,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(g_flat, zi_flat, zprev_flat, w2t_flat.astype(g_flat.dtype), vecs,
       cmask_slab)
     return da, dw2, stats
