@@ -5,9 +5,9 @@ mutable=["batch_stats"])`` for the packed DnCNN (models/dncnn.py) — same
 parameter pytree, same BatchNorm running-statistics update (torch
 BatchNorm2d: momentum 0.1, biased batch variance), same residual/noise
 output conventions — but the 15 mid layers execute as fused Pallas kernels
-(ops/fused_stack.py) instead of an XLA conv graph: measured ~59 -> ~40 ms
-per 540p fine-tune iteration (the reference hot loop,
-blind_denoising.py:216-222).
+(ops/fused_stack.py) instead of an XLA conv graph: measured 59 -> 35.5 ms
+per 540p fine-tune iteration, 1.25 fps end-to-end (the reference hot loop,
+blind_denoising.py:216-222; decomposition in BASELINE.md).
 
 Activations are stored bfloat16 between layers (the established bf16-chain
 accuracy mode: ~1e-3 pixel deviation at 17 layers, PSNR trajectory within

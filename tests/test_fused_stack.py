@@ -201,3 +201,24 @@ def test_fused_odd_w2():
                              store_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_color_channels():
+    """channels=3 routes through the same fused stack (ends convs are C->64
+    and 64->C; the mid stack is channel-agnostic)."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import can_fuse, fused_train_apply
+
+    H, W = 16, 32
+    model, variables = init_dncnn(jax.random.PRNGKey(4), channels=3,
+                                  num_layers=4, conv_impl="packed",
+                                  spatial=(H, W))
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((1, H, W, 3)), jnp.float32)
+    assert can_fuse(model, x.shape)
+    y_ref, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    y, _ = fused_train_apply(model, variables["params"],
+                             variables["batch_stats"], x,
+                             store_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
