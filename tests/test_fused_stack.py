@@ -222,3 +222,24 @@ def test_fused_color_channels():
                              store_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("H,W2,th", [(12, 16, 8), (9, 10, 8), (540, 480, 8),
+                                     (17, 15, 16), (64, 481, 16)])
+def test_flat_layout_roundtrip(H, W2, th):
+    """to_flat/from_flat invert on the real-pixel region for assorted
+    geometries (odd/even W2, H not a tile multiple, production 540p)."""
+    from frame2frame_tpu.ops.fused_stack import Geom, from_flat, to_flat
+
+    if (th * (W2 + 2)) % 16:
+        pytest.skip("unaligned geometry")
+    g = Geom(H, W2, th)
+    rng = np.random.default_rng(H + W2)
+    a = jnp.asarray(rng.random((1, H, W2, 128)), jnp.float32)
+    flat = to_flat(a, g)
+    assert flat.shape == (g.tot, 128)
+    # zero head/tail tiles and zero pad columns
+    assert float(jnp.abs(flat[:g.n]).max()) == 0.0
+    assert float(jnp.abs(flat[g.n + g.T * g.tile_h * g.wpad:]).max()) == 0.0
+    back = from_flat(flat, g)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
