@@ -94,6 +94,12 @@ def _json_safe(obj):
 
 
 def _wandb_log(logger_state, cache_root, proj_name, uuid, cfg, results):
+    # once-per-experiment marker: resumed sweeps re-walk cached entries on
+    # every invocation, which would otherwise create duplicate wandb runs
+    marker_dir = Path(cache_root) / "wandb_logged"
+    marker = marker_dir / f"{proj_name}.{uuid}"
+    if marker.exists():
+        return
     try:
         import wandb
 
@@ -105,6 +111,11 @@ def _wandb_log(logger_state, cache_root, proj_name, uuid, cfg, results):
         if logger_state.get("local") is None:
             logger_state["local"] = WandbCompatLogger(cache_root, proj_name)
         logger_state["local"].log_run(uuid, cfg, results)
+    try:
+        marker_dir.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+    except OSError:
+        pass
 
 
 def run_exps(exps, run_fn, uuids=None, cache_dir=".cache_f2f",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import shlex
 import shutil
 import subprocess
 import sys
@@ -102,8 +103,10 @@ def _child_env():
 
 def _submit_slurm(job, slurm_opts):
     env = _child_env()
-    script = (f"#!/bin/bash\nexport PYTHONPATH={env['PYTHONPATH']}\n"
-              f"{sys.executable} -m frame2frame_tpu.cache.dispatch {job}\n")
+    script = (f"#!/bin/bash\n"
+              f"export PYTHONPATH={shlex.quote(env['PYTHONPATH'])}\n"
+              f"{shlex.quote(sys.executable)} -m frame2frame_tpu.cache.dispatch "
+              f"{shlex.quote(str(job))}\n")
     sh = Path(str(job) + ".sh")
     sh.write_text(script)
     cmd = ["sbatch"] + list(slurm_opts or []) + [str(sh)]
@@ -141,6 +144,7 @@ def dispatch(jobs, backend="process", nprocs=None, slurm_opts=None,
                 rc = fu.result()
                 if verbose:
                     print(f"[dispatch] {j.stem}: rc={rc}")
+        _cleanup_jobs(jobs)
     else:
         raise ValueError(f"unknown dispatch backend [{backend}]")
 
@@ -154,20 +158,34 @@ def _run_job_subprocess(job_path):
 
 
 def _wait_for_cache(jobs, poll_s, timeout_s):
+    # the (job -> target cache file) mapping is static: read each job pickle
+    # once up front instead of on every poll
+    targets = {}
+    for j in jobs:
+        with open(j, "rb") as f:
+            meta = pickle.load(f)
+        targets[j] = Path(meta["cache_dir"]) / f"{meta['uuid']}.pkl"
     t0 = time.time()
     remaining = set(jobs)
     while remaining and time.time() - t0 < timeout_s:
-        done = set()
-        for j in remaining:
-            with open(j, "rb") as f:
-                meta = pickle.load(f)
-            if (Path(meta["cache_dir"]) / f"{meta['uuid']}.pkl").exists():
-                done.add(j)
+        done = {j for j in remaining if targets[j].exists()}
         remaining -= done
         if remaining:
             time.sleep(poll_s)
     if remaining:
         raise TimeoutError(f"{len(remaining)} dispatched jobs never completed")
+    _cleanup_jobs(jobs)
+
+
+def _cleanup_jobs(jobs):
+    """Remove consumed job artifacts (*.job.pkl and the slurm *.sh shim) so
+    repeated sweeps don't accumulate stale pickles under <cache>/pending."""
+    for j in jobs:
+        for p in (Path(j), Path(str(j) + ".sh")):
+            try:
+                p.unlink()
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":

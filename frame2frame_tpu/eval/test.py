@@ -77,154 +77,156 @@ def run(cfg):
     import contextlib
     prof = contextlib.ExitStack()
     prof.enter_context(trace_if(tcfg.profile_dir))
-    for index in indices:
-        timer = ExpTimer()
-        memer = GpuMemer()
+    try:
+        for index in indices:
+            timer = ExpTimer()
+            memer = GpuMemer()
 
-        sample = slice_sample(dset[index], tcfg.frame_start, tcfg.frame_end)
-        noisy = jnp.asarray(sample["noisy"])[None]  # (1, T, H, W, C), [0,255]
-        clean = jnp.asarray(sample["clean"])[None]
-        vid_frames = np.asarray(sample["fnums"])
+            sample = slice_sample(dset[index], tcfg.frame_start, tcfg.frame_end)
+            noisy = jnp.asarray(sample["noisy"])[None]  # (1, T, H, W, C), [0,255]
+            clean = jnp.asarray(sample["clean"])[None]
+            vid_frames = np.asarray(sample["fnums"])
 
-        # resample noise for flow input (test.py:151-154)
-        if tcfg.flow_sigma >= 0:
-            key = jax.random.PRNGKey(tcfg.seed)
-            noisy_f = clean + tcfg.flow_sigma * jax.random.normal(
-                key, clean.shape, clean.dtype)
-        else:
-            noisy_f = noisy
-
-        with TimeIt(timer, "flow"):
-            if tcfg.read_flows and "fflow" in sample:
-                flows = Config(fflow=jnp.asarray(sample["fflow"])[None],
-                               bflow=jnp.asarray(sample["bflow"])[None])
+            # resample noise for flow input (test.py:151-154)
+            if tcfg.flow_sigma >= 0:
+                key = jax.random.PRNGKey(tcfg.seed)
+                noisy_f = clean + tcfg.flow_sigma * jax.random.normal(
+                    key, clean.shape, clean.dtype)
             else:
-                flows = flow_api.run_flows(noisy_f, tcfg.flow)
+                noisy_f = noisy
 
-        # forward fn: model (+ optional x8 ensemble) (+ chunking);
-        # video models (FastDVDnet) consume (B, T, H, W, C) directly,
-        # frame models (DnCNN) flatten time into batch
-        def model_fwd(vid, fl=None):
-            if ms.get("video_model", False):
-                return state_apply(vid)
-            B, T = vid.shape[:2]
-            out = state_apply(vid.reshape((B * T,) + vid.shape[2:]))
-            return out.reshape(vid.shape[:2] + out.shape[1:])
-
-        if tcfg.aug_test:
-            def aug_fwd(vid, fl=None):
-                return test_x8(model_fwd, vid, fl)
-            base_fwd = aug_fwd
-        else:
-            base_fwd = model_fwd
-
-        chunk_cfg = extract_chunks_config(cfg)
-        if tcfg.longest_space_chunk and chunk_cfg.spatial_chunk_size:
-            # stretch the spatial chunk to the longest frame side
-            # (set_longest_spatial_chunk, reference test.py:172-174)
-            chunk_cfg.spatial_chunk_size = max(noisy.shape[-3], noisy.shape[-2])
-        fwd_fxn = chunk(chunk_cfg, base_fwd)
-
-        # burn-in once (test.py:180-186)
-        if burn_in:
-            small = noisy[:, :, :128, :128, :] / imax
-            jax.block_until_ready(fwd_fxn(small))
-            burn_in = False
-
-        # internal adaptation (test.py:189-203)
-        adapt_info = None
-        run_adapt = tcfg.internal_adapt_nsteps > 0 and tcfg.internal_adapt_nepochs > 0
-        with MemIt(memer, "adapt"):
-            with TimeIt(timer, "adapt"):
-                if run_adapt:
-                    from .. import get_loss_fxn
-                    from ..train.schedules import make_optimizer
-                    from ..train.state import TrainState
-
-                    acfg = Config(cfg)
-                    acfg.adapt_nepochs = tcfg.internal_adapt_nepochs
-                    loss_fxn = get_loss_fxn(acfg, optional(cfg, "loss_type", "f2f"))
-                    tx, _ = make_optimizer(Config(cfg, scheduler_name="cosa",
-                                                  nepochs=tcfg.internal_adapt_nepochs))
-                    st = TrainState.create(ms.model, ms.variables, tx,
-                                           residual=True)
-                    st, adapt_info = loss_fxn(st, noisy[:, :5] / imax,
-                                              clean[:, :5] / imax)
-
-                    def model_fwd(vid, fl=None, _st=st):
-                        B, T = vid.shape[:2]
-                        out = _st.eval_apply(
-                            vid.reshape((B * T,) + vid.shape[2:]))
-                        return out.reshape(vid.shape[:2] + out.shape[1:])
-
-                    fwd_fxn = chunk(chunk_cfg, model_fwd)
-
-        # optional sigma noise-map channel (test.py:207-211)
-        noisy_input = noisy
-        if tcfg.append_noise_map:
-            B, T, H, W, C = noisy.shape
-            nm = jnp.full((B, T, H, W, 1), float(tcfg.sigma), noisy.dtype)
-            noisy_input = jnp.concatenate([noisy, nm], axis=-1)
-
-        # denoise (test.py:214-219)
-        with MemIt(memer, "deno"):
-            with TimeIt(timer, "deno"):
-                deno = fwd_fxn(noisy_input / imax, flows)
-                deno = jnp.clip(deno, 0.0, 1.0) * imax
-                deno = jax.device_get(deno)
-
-        # B2U masked-ensemble second pass (test.py:222-229, run_ub2_test :49-71)
-        with MemIt(memer, "deno_pp"):
-            with TimeIt(timer, "deno_pp"):
-                if tcfg.crit_name == "b2u":
-                    b2u = B2ULoss(-1, -1, 1, -1, "")
-                    pp_cfg = Config(chunk_cfg)
-                    pp_cfg.temporal_chunk_size = 1
-                    pp_cfg.spatial_chunk_size = 512
-                    pp_cfg.spatial_chunk_overlap = 0.1
-
-                    def b2u_fwd(vid, fl=None):
-                        def flat_apply(x):
-                            return state_apply(x)
-                        return b2u.test(flat_apply, vid)
-
-                    deno_pp = chunk(pp_cfg, b2u_fwd)(noisy_input / imax, flows)
-                    deno_pp = jax.device_get(jnp.clip(deno_pp, 0, 1) * imax)
+            with TimeIt(timer, "flow"):
+                if tcfg.read_flows and "fflow" in sample:
+                    flows = Config(fflow=jnp.asarray(sample["fflow"])[None],
+                                   bflow=jnp.asarray(sample["bflow"])[None])
                 else:
-                    deno_pp = deno.copy()
+                    flows = flow_api.run_flows(noisy_f, tcfg.flow)
 
-        # save denoised video (test.py:237-242)
-        out_dir = Path(tcfg.saved_dir) / str(tcfg.arch_name) / str(tcfg.uuid)
-        if tcfg.save_deno:
-            deno_fns = save_video(deno, out_dir, "deno")
-        else:
-            deno_fns = [""] * deno.shape[0]
+            # forward fn: model (+ optional x8 ensemble) (+ chunking);
+            # video models (FastDVDnet) consume (B, T, H, W, C) directly,
+            # frame models (DnCNN) flatten time into batch
+            def model_fwd(vid, fl=None):
+                if ms.get("video_model", False):
+                    return state_apply(vid)
+                B, T = vid.shape[:2]
+                out = state_apply(vid.reshape((B * T,) + vid.shape[2:]))
+                return out.reshape(vid.shape[:2] + out.shape[1:])
 
-        # metrics (test.py:245-252)
-        noisy_np, clean_np = np.asarray(noisy), np.asarray(clean)
-        results.psnrs.append(compute_psnrs(clean_np, deno, div=imax))
-        results.ssims.append(compute_ssims(clean_np, deno, div=imax))
-        results.strred.append(compute_strred(clean_np, deno, div=imax))
-        results.psnrs_pp.append(compute_psnrs(clean_np, deno_pp, div=imax))
-        results.ssims_pp.append(compute_ssims(clean_np, deno_pp, div=imax))
-        results.strred_pp.append(compute_strred(clean_np, deno_pp, div=imax))
-        results.noisy_psnrs.append(compute_psnrs(noisy_np, clean_np, div=imax))
-        results.deno_fns.append(deno_fns)
-        results.vid_frames.append(vid_frames)
-        results.vid_name.append([tcfg.vid_name])
+            if tcfg.aug_test:
+                def aug_fwd(vid, fl=None):
+                    return test_x8(model_fwd, vid, fl)
+                base_fwd = aug_fwd
+            else:
+                base_fwd = model_fwd
 
-        # backward benchmark (test.py:273-275,308-328)
-        if tcfg.bench_bwd:
-            measure_bwd(ms, fwd_fxn, flows, noisy / imax, clean / imax,
-                        timer, memer)
+            chunk_cfg = extract_chunks_config(cfg)
+            if tcfg.longest_space_chunk and chunk_cfg.spatial_chunk_size:
+                # stretch the spatial chunk to the longest frame side
+                # (set_longest_spatial_chunk, reference test.py:172-174)
+                chunk_cfg.spatial_chunk_size = max(noisy.shape[-3], noisy.shape[-2])
+            fwd_fxn = chunk(chunk_cfg, base_fwd)
 
-        for name, (mem_res, mem_alloc) in memer.items():
-            results[f"{name}_mem_res"].append([mem_res])
-            results[f"{name}_mem_alloc"].append([mem_alloc])
-        for name, t in timer.items():
-            results.setdefault(name, []).append(t)
+            # burn-in once (test.py:180-186)
+            if burn_in:
+                small = noisy[:, :, :128, :128, :] / imax
+                jax.block_until_ready(fwd_fxn(small))
+                burn_in = False
 
-    prof.close()
+            # internal adaptation (test.py:189-203)
+            adapt_info = None
+            run_adapt = tcfg.internal_adapt_nsteps > 0 and tcfg.internal_adapt_nepochs > 0
+            with MemIt(memer, "adapt"):
+                with TimeIt(timer, "adapt"):
+                    if run_adapt:
+                        from .. import get_loss_fxn
+                        from ..train.schedules import make_optimizer
+                        from ..train.state import TrainState
+
+                        acfg = Config(cfg)
+                        acfg.adapt_nepochs = tcfg.internal_adapt_nepochs
+                        loss_fxn = get_loss_fxn(acfg, optional(cfg, "loss_type", "f2f"))
+                        tx, _ = make_optimizer(Config(cfg, scheduler_name="cosa",
+                                                      nepochs=tcfg.internal_adapt_nepochs))
+                        st = TrainState.create(ms.model, ms.variables, tx,
+                                               residual=True)
+                        st, adapt_info = loss_fxn(st, noisy[:, :5] / imax,
+                                                  clean[:, :5] / imax)
+
+                        def model_fwd(vid, fl=None, _st=st):
+                            B, T = vid.shape[:2]
+                            out = _st.eval_apply(
+                                vid.reshape((B * T,) + vid.shape[2:]))
+                            return out.reshape(vid.shape[:2] + out.shape[1:])
+
+                        fwd_fxn = chunk(chunk_cfg, model_fwd)
+
+            # optional sigma noise-map channel (test.py:207-211)
+            noisy_input = noisy
+            if tcfg.append_noise_map:
+                B, T, H, W, C = noisy.shape
+                nm = jnp.full((B, T, H, W, 1), float(tcfg.sigma), noisy.dtype)
+                noisy_input = jnp.concatenate([noisy, nm], axis=-1)
+
+            # denoise (test.py:214-219)
+            with MemIt(memer, "deno"):
+                with TimeIt(timer, "deno"):
+                    deno = fwd_fxn(noisy_input / imax, flows)
+                    deno = jnp.clip(deno, 0.0, 1.0) * imax
+                    deno = jax.device_get(deno)
+
+            # B2U masked-ensemble second pass (test.py:222-229, run_ub2_test :49-71)
+            with MemIt(memer, "deno_pp"):
+                with TimeIt(timer, "deno_pp"):
+                    if tcfg.crit_name == "b2u":
+                        b2u = B2ULoss(-1, -1, 1, -1, "")
+                        pp_cfg = Config(chunk_cfg)
+                        pp_cfg.temporal_chunk_size = 1
+                        pp_cfg.spatial_chunk_size = 512
+                        pp_cfg.spatial_chunk_overlap = 0.1
+
+                        def b2u_fwd(vid, fl=None):
+                            def flat_apply(x):
+                                return state_apply(x)
+                            return b2u.test(flat_apply, vid)
+
+                        deno_pp = chunk(pp_cfg, b2u_fwd)(noisy_input / imax, flows)
+                        deno_pp = jax.device_get(jnp.clip(deno_pp, 0, 1) * imax)
+                    else:
+                        deno_pp = deno.copy()
+
+            # save denoised video (test.py:237-242)
+            out_dir = Path(tcfg.saved_dir) / str(tcfg.arch_name) / str(tcfg.uuid)
+            if tcfg.save_deno:
+                deno_fns = save_video(deno, out_dir, "deno")
+            else:
+                deno_fns = [""] * deno.shape[0]
+
+            # metrics (test.py:245-252)
+            noisy_np, clean_np = np.asarray(noisy), np.asarray(clean)
+            results.psnrs.append(compute_psnrs(clean_np, deno, div=imax))
+            results.ssims.append(compute_ssims(clean_np, deno, div=imax))
+            results.strred.append(compute_strred(clean_np, deno, div=imax))
+            results.psnrs_pp.append(compute_psnrs(clean_np, deno_pp, div=imax))
+            results.ssims_pp.append(compute_ssims(clean_np, deno_pp, div=imax))
+            results.strred_pp.append(compute_strred(clean_np, deno_pp, div=imax))
+            results.noisy_psnrs.append(compute_psnrs(noisy_np, clean_np, div=imax))
+            results.deno_fns.append(deno_fns)
+            results.vid_frames.append(vid_frames)
+            results.vid_name.append([tcfg.vid_name])
+
+            # backward benchmark (test.py:273-275,308-328)
+            if tcfg.bench_bwd:
+                measure_bwd(ms, fwd_fxn, flows, noisy / imax, clean / imax,
+                            timer, memer)
+
+            for name, (mem_res, mem_alloc) in memer.items():
+                results[f"{name}_mem_res"].append([mem_res])
+                results[f"{name}_mem_alloc"].append([mem_alloc])
+            for name, t in timer.items():
+                results.setdefault(name, []).append(t)
+
+    finally:
+        prof.close()
     return results
 
 

@@ -58,7 +58,9 @@ def get_loss_fxn(cfg, loss_type=None):
         return WrapSupLoss(None, isize, nepochs, nbatch, use_flow,
                            flow_method, train_bn)
     if loss_type == "none":
-        def identity(state, noisy, clean, seed=0):
+        # signature mirrors _WrapBase.__call__ so direct callers (e.g.
+        # instances_adapt.run_training, which always passes sched=) work
+        def identity(state, noisy, clean, seed=0, sched=None):
             from ..config import Config
 
             return state, Config(lr=[], loss=[])

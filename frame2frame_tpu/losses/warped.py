@@ -98,8 +98,11 @@ class WarpedLoss:
         # comp: (B, T, 2*wt, H, W, 2); slot m: flow from t to the m-th frame of
         # the (ref-removed) temporal window of t
         if tables is None:
-            tj_tab = jnp.asarray(
-                [time_window_inds(ti, wt, T)[1:] for ti in range(T)])
+            from ..ops.nls import _window_tables
+
+            # single source of truth for the clamped-window layout (the comp
+            # slots above are built from the same table)
+            tj_tab = _window_tables(T, wt)[0]
         else:
             tj_tab = tables[0]
 

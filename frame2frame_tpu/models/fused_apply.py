@@ -25,6 +25,21 @@ from ..ops.packed import conv3x3_packed_bf16, pack_image, unpack_image
 BN_MOMENTUM = 0.9  # flax convention: new = m*old + (1-m)*batch (torch 0.1)
 
 
+def _make_end_conv(store_dtype):
+    """The C<->64 boundary convs: bf16 custom-VJP path in production,
+    plain packed conv in the f32 oracle-test mode. Shared by the train and
+    eval forwards so their semantics cannot drift."""
+    if store_dtype == jnp.bfloat16:
+        def end_conv(x2, w):
+            return conv3x3_packed_bf16(x2.astype(jnp.bfloat16), w)
+    else:
+        from ..ops.packed import conv3x3_packed as _cp
+
+        def end_conv(x2, w):
+            return _cp(x2.astype(store_dtype), w)
+    return end_conv
+
+
 def can_fuse(model, x_shape):
     """The fused pipeline covers the standard packed DnCNN: batch 1, 64
     features, even width, and tall-enough frames for the tile geometry."""
@@ -45,15 +60,7 @@ def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
     """
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
-    bf16 = store_dtype == jnp.bfloat16
-    if bf16:
-        def end_conv(x2, w):
-            return conv3x3_packed_bf16(x2.astype(jnp.bfloat16), w)
-    else:
-        from ..ops.packed import conv3x3_packed as _cp
-
-        def end_conv(x2, w):
-            return _cp(x2.astype(store_dtype), w)
+    end_conv = _make_end_conv(store_dtype)
     x2 = pack_image(x)
 
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
@@ -101,15 +108,7 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
 
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
-    bf16 = store_dtype == jnp.bfloat16
-    if bf16:
-        def end_conv(x2, w):
-            return conv3x3_packed_bf16(x2.astype(jnp.bfloat16), w)
-    else:
-        from ..ops.packed import conv3x3_packed as _cp
-
-        def end_conv(x2, w):
-            return _cp(x2.astype(store_dtype), w)
+    end_conv = _make_end_conv(store_dtype)
 
     x2 = pack_image(x)
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))

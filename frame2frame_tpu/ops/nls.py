@@ -110,26 +110,29 @@ def time_window_frames(ti, wt, T):
     return [t for t in range(lo, hi) if t != ti]
 
 
-def compose_flow_pyramids(fflow, bflow, wt):
+def compose_flow_pyramids(fflow, bflow, depth):
     """Cumulative composed flows: returns (comp_f, comp_b), each
-    (wt, B, T, H, W, 2), where comp_f[d-1, :, t] maps frame t to frame
+    (depth, B, T, H, W, 2), where comp_f[d-1, :, t] maps frame t to frame
     t + d (and comp_b to t - d). Multi-step flows chain by warping the next
     hop's flow by the accumulated flow (stnls.nn.search_flow equivalent).
 
-    Entries whose target would leave [0, T) are never consumed by valid
-    window slots; they compose with edge-clamped hops and are harmless.
+    ``depth`` must cover the largest |dt| a consumer's window can reach —
+    clamped windows at sequence ends contain targets up to 2*wt away, so
+    search_flow_compose builds depth 2*wt. Entries whose target would leave
+    [0, T) are never consumed by valid window slots; they compose with
+    edge-clamped hops and are harmless.
     """
     B, T, H, W, _ = fflow.shape
     warp_flow = jax.vmap(jax.vmap(flow_warp_reflect))  # over (B, T)
 
-    # unrolled cumulative build (wt is small and static)
+    # unrolled cumulative build (depth is small and static)
     def build(flows, sign):
         accs = [flows]
-        for d in range(1, wt):
+        for d in range(1, depth):
             idx = jnp.clip(jnp.arange(T) + sign * d, 0, T - 1)
             nxt = warp_flow(jnp.take(flows, idx, axis=1), accs[-1])
             accs.append(accs[-1] + nxt)
-        return jnp.stack(accs, axis=0)  # (wt, B, T, H, W, 2)
+        return jnp.stack(accs, axis=0)  # (depth, B, T, H, W, 2)
 
     return build(fflow, +1), build(bflow, -1)
 
@@ -152,13 +155,17 @@ def search_flow_compose(fflow, bflow, wt, tables=None):
         tj_tab, valid_tab = _window_tables(T, wt)
     else:
         tj_tab, valid_tab = tables
-    comp_f, comp_b = compose_flow_pyramids(fflow, bflow, wt)
-    # stack [backward wt..1, zero, forward 1..wt] so slot dt in [-wt, wt]
-    # selects pyramid level |dt| of the right direction; dt = 0 -> zeros
+    # clamped windows at sequence ends reach targets up to 2*wt away, so
+    # the pyramids must go to depth 2*wt (a depth-wt pyramid silently
+    # substituted the distance-wt flow for those slots: ~1 px error at
+    # the first/last wt frames of every sequence)
+    comp_f, comp_b = compose_flow_pyramids(fflow, bflow, 2 * wt)
+    # stack [backward 2wt..1, zero, forward 1..2wt] so slot dt in
+    # [-2wt, 2wt] selects pyramid level |dt| of the right direction
     zero = jnp.zeros_like(comp_f[:1])
     stackfb = jnp.concatenate([comp_b[::-1], zero, comp_f], axis=0)
     dt = tj_tab - jnp.arange(T, dtype=tj_tab.dtype)[:, None]  # (T, S)
-    sel = jnp.clip(dt + wt, 0, 2 * wt)  # index into stackfb's first axis
+    sel = jnp.clip(dt + 2 * wt, 0, 4 * wt)  # index into stackfb's first axis
 
     # gather: out[b, t, m] = stackfb[sel[t, m], b, t]
     def pick_tm(t, m):

@@ -171,6 +171,16 @@ def make_sharded_window_step(model, mesh, tx, loss, kind="warped", wt=1,
     axes = ("data", "time")
     halo = 2 * wt
 
+    def check_shapes(noisy):
+        t_loc = noisy.shape[1] // n_time
+        if noisy.shape[1] % n_time or t_loc < halo:
+            raise ValueError(
+                f"time-sharded window losses need each of the {n_time} time "
+                f"shards to hold at least 2*wt={halo} frames (the single-hop "
+                f"ppermute halo reaches only the adjacent shard); got "
+                f"T={noisy.shape[1]} -> {t_loc} frames/shard. Use fewer time "
+                f"shards or more frames.")
+
     def shard_fn(params, batch_stats, opt_state, noisy, clean, fflow, bflow):
         tix = lax.axis_index("time")
         t_loc = noisy.shape[1]
@@ -229,7 +239,14 @@ def make_sharded_window_step(model, mesh, tx, loss, kind="warped", wt=1,
         out_specs=(rep, rep, rep, rep),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step(params, batch_stats, opt_state, noisy, clean, fflow, bflow):
+        check_shapes(noisy)
+        return jitted(params, batch_stats, opt_state, noisy, clean, fflow,
+                      bflow)
+
+    return step
 
 
 def make_sharded_sup_step(model, mesh, tx, residual=True):

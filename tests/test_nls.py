@@ -186,3 +186,28 @@ def test_nls_scales_to_realistic_shapes():
     dt = time.time() - t0
     assert dt < 120.0, f"trace+compile took {dt:.1f}s"
     del nls, rs, uk
+
+
+def test_search_flow_compose_boundary_two_hop():
+    """Clamped windows at sequence ends reach distance-2wt targets; the
+    composed flow for those slots must be the true multi-hop chain, not the
+    distance-wt flow (regression: the depth-wt pyramid silently substituted
+    it, ~1 px error at boundary frames)."""
+    rng = np.random.default_rng(0)
+    B, T, H, W = 1, 4, 12, 14
+    fflow = jnp.asarray(rng.normal(0, 0.8, (B, T, H, W, 2)), jnp.float32)
+    bflow = jnp.asarray(rng.normal(0, 0.8, (B, T, H, W, 2)), jnp.float32)
+    wt = 1
+    comp = nls.search_flow_compose(fflow, bflow, wt=wt)
+    # t=0's clamped window is [1, 2]; slot 1 targets frame 2 (distance 2)
+    assert nls.time_window_frames(0, wt, T) == [1, 2]
+    expected = fflow[:, 0] + jax.vmap(nls.flow_warp_reflect)(
+        fflow[:, 1], fflow[:, 0])
+    np.testing.assert_allclose(np.asarray(comp[:, 0, 1]),
+                               np.asarray(expected), rtol=1e-5, atol=1e-5)
+    # t=T-1's window is [1, 2]; slot 0 targets frame 1 (distance 2 backward)
+    assert nls.time_window_frames(T - 1, wt, T) == [1, 2]
+    expected_b = bflow[:, 3] + jax.vmap(nls.flow_warp_reflect)(
+        bflow[:, 2], bflow[:, 3])
+    np.testing.assert_allclose(np.asarray(comp[:, 3, 0]),
+                               np.asarray(expected_b), rtol=1e-5, atol=1e-5)

@@ -264,3 +264,28 @@ def test_trainer_data_parallel_parity():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-4)
+
+
+def test_sharded_window_step_validates_shard_size():
+    """Each time shard must own >= 2*wt frames (single-hop halo); the step
+    should fail fast with a clear error, not a deep shape mismatch."""
+    import pytest
+
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.parallel.mesh import make_mesh
+    from frame2frame_tpu.parallel.shard import make_sharded_window_step
+    from frame2frame_tpu.train.online import torch_adam
+
+    mesh = make_mesh(n_data=1, n_time=8)
+    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                  num_layers=3, conv_impl="packed",
+                                  spatial=(16, 16))
+    tx = torch_adam(1e-4)
+    step = make_sharded_window_step(model, mesh, tx, loss="l1", kind="warped",
+                                    wt=1)
+    opt_state = tx.init(variables["params"])
+    vid = jnp.zeros((1, 8, 16, 16, 1))  # 8 frames / 8 shards = 1 < 2*wt
+    flows = jnp.zeros((1, 8, 16, 16, 2))
+    with pytest.raises(ValueError, match="at least 2\\*wt"):
+        step(variables["params"], variables.get("batch_stats", {}), opt_state,
+             vid, vid, flows, flows)
