@@ -42,13 +42,28 @@ def _make_end_conv(store_dtype):
 
 def can_fuse(model, x_shape):
     """The fused pipeline covers the standard packed DnCNN: batch 1, 64
-    features, even width, and tall-enough frames for the tile geometry."""
+    features, even width, tall-enough frames for the tile geometry, and a
+    backward-kernel scratch footprint that fits VMEM (very wide frames —
+    ~4K — exceed it and fall back to the XLA path)."""
     B, H, W, _ = x_shape
     if model.features != 64 or B != 1 or W % 2:
         return False
     W2 = W // 2
     th = default_tile_h(W2)
-    return (th * (W2 + 2)) % 16 == 0 and H >= th and model.num_layers >= 3
+    if (th * (W2 + 2)) % 16 != 0 or H < th or model.num_layers < 3:
+        return False
+    # bwd kernel scratch (ops/fused_stack.py): 3 double-buffered bf16 slabs,
+    # a double-buffered f32 dz slab, an f32 interior slab, the dw2 block and
+    # the double-buffered output tile; must stay under the 100 MB scoped
+    # VMEM cap with headroom for accumulators
+    wpad = W2 + 2
+    n = th * wpad
+    off = -(-(wpad + 1) // 16) * 16
+    slab = n + 2 * off
+    bwd_bytes = (3 * 2 * slab * 128 * 2 + 2 * slab * 128 * 4
+                 + 2 * n * 128 * 4 + 9 * 128 * 128 * 4 + 2 * n * 128 * 2
+                 + 3 * n * 128 * 4)  # + dX accumulator values
+    return bwd_bytes < 88 * 1024 * 1024
 
 
 def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
