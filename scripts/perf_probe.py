@@ -1,0 +1,136 @@
+"""Performance probe for the 540p online pipeline on the current device.
+
+Measures (1) the full online step per conv implementation, (2) the fused
+Pallas kernels standalone, (3) the batched TV-L1 flow — the numbers behind
+BASELINE.md's round-2 decomposition. Run on TPU; warm runs are fast via the
+persistent compile cache.
+
+Usage: python scripts/perf_probe.py [--impls packed_bf16,fused] [--hw 540x960]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def probe_step(impls, H, W, iters=20):
+    import jax.numpy as jnp
+
+    import jax
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.train.online import OnlineDenoiser
+
+    rng = np.random.default_rng(0)
+    cur = jnp.asarray(rng.random((H, W, 1)).astype(np.float32))
+    prev = jnp.asarray(rng.random((H, W, 1)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 1, (H, W, 2)).astype(np.float32))
+
+    for impl in impls:
+        model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                      num_layers=17, conv_impl=impl)
+        eng = OnlineDenoiser(model, variables, iters=iters)
+        d, _ = eng.process_frame(cur, prev, flow)
+        float(jnp.sum(d.ravel()[:2]))  # forces completion under the tunnel
+        t0 = time.perf_counter()
+        for _ in range(3):
+            d, _ = eng.process_frame(cur, prev, flow)
+        float(jnp.sum(d.ravel()[:2]))
+        dt = (time.perf_counter() - t0) / 3
+        print(f"step[{impl}]: {dt * 1000:.1f} ms/frame "
+              f"({dt * 1000 / iters:.1f} ms/iter)")
+
+
+def probe_kernels(H, W):
+    import jax.numpy as jnp
+    from jax import lax
+
+    import jax
+    from frame2frame_tpu.ops.fused_stack import (
+        Geom,
+        bwd_layer,
+        default_tile_h,
+        fwd_layer,
+    )
+
+    g = Geom(H, W // 2, default_tile_h(W // 2))
+    rng = np.random.default_rng(0)
+
+    def mk(shape):
+        return jnp.asarray(
+            rng.standard_normal(shape).astype(np.float32)).astype(jnp.bfloat16)
+
+    zprev, zi, gg = mk((g.tot, 128)), mk((g.tot, 128)), mk((g.tot, 128))
+    w2 = mk((9, 128, 128))
+    s_vec = jnp.ones((128,), jnp.float32)
+    b_vec = jnp.zeros((128,), jnp.float32)
+    vecs = jnp.asarray(
+        rng.standard_normal((8, 128)).astype(np.float32)) * 0.1
+
+    @jax.jit
+    def run_fwd(zprev, w2, s_vec, b_vec):
+        def body(c, _):
+            _, st = fwd_layer(zprev, w2, s_vec + c, b_vec, g)
+            return c + st[0, 0] * 1e-12, None
+        return lax.scan(body, 0.0, None, length=20)[0]
+
+    @jax.jit
+    def run_bwd(gg, zi, zprev, w2, vecs):
+        def body(c, _):
+            _, dw2, _ = bwd_layer(gg, zi, zprev, w2, vecs + c * 1e-12, g)
+            return c + dw2[0, 0, 0] * 1e-12, None
+        return lax.scan(body, 0.0, None, length=20)[0]
+
+    for name, fn, args in [("fwd_layer", run_fwd, (zprev, w2, s_vec, b_vec)),
+                           ("bwd_layer", run_bwd, (gg, zi, zprev, w2, vecs))]:
+        o = fn(*args)
+        float(np.asarray(o))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o = fn(*args)
+        float(np.asarray(o))
+        print(f"{name}: {(time.perf_counter() - t0) / 3 / 20 * 1000:.3f} "
+              f"ms/layer")
+
+
+def probe_flow(H, W, K=8):
+    import jax.numpy as jnp
+
+    from frame2frame_tpu.flow.tvl1 import DENOISING_PARAMS, make_batched_tvl1
+
+    rng = np.random.default_rng(0)
+    solver = make_batched_tvl1(W, H, **DENOISING_PARAMS)
+    I1 = jnp.asarray(rng.random((K, H, W)).astype(np.float32)) * 255
+    I0 = jnp.asarray(rng.random((K, H, W)).astype(np.float32)) * 255
+    fl = solver(I1, I0)
+    float(jnp.sum(fl.ravel()[:2]))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        fl = solver(I1, I0)
+    float(jnp.sum(fl.ravel()[:2]))
+    print(f"tvl1 batch{K}: {(time.perf_counter() - t0) / 3 / K * 1000:.1f} "
+          f"ms/flow")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", default="packed_bf16,fused")
+    ap.add_argument("--hw", default="540x960")
+    args = ap.parse_args(argv)
+    H, W = (int(v) for v in args.hw.split("x"))
+
+    from frame2frame_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    probe_step(args.impls.split(","), H, W)
+    probe_kernels(H, W)
+    probe_flow(H, W)
+
+
+if __name__ == "__main__":
+    main()
