@@ -98,8 +98,18 @@ def _wandb_log(logger_state, cache_root, proj_name, uuid, cfg, results):
     # every invocation, which would otherwise create duplicate wandb runs
     marker_dir = Path(cache_root) / "wandb_logged"
     marker = marker_dir / f"{proj_name}.{uuid}"
+    # the marker records WHICH sink took the run ("wandb" or "local"), so a
+    # run that fell back to the local JSONL logger (e.g. transient wandb
+    # failure) is upgraded to real wandb on a later re-walk
+    prev = None
     if marker.exists():
+        try:
+            prev = marker.read_text().strip() or "wandb"
+        except OSError:
+            prev = "wandb"
+    if prev == "wandb":
         return
+    sink = "local"
     try:
         import wandb
 
@@ -107,13 +117,16 @@ def _wandb_log(logger_state, cache_root, proj_name, uuid, cfg, results):
                          config={k: str(v) for k, v in cfg.items()})
         run.summary.update(_json_safe(results))
         run.finish()
+        sink = "wandb"
     except Exception:  # wandb missing or not logged in: local JSONL logger
+        if prev == "local":
+            return  # already captured locally; wandb still unavailable
         if logger_state.get("local") is None:
             logger_state["local"] = WandbCompatLogger(cache_root, proj_name)
         logger_state["local"].log_run(uuid, cfg, results)
     try:
         marker_dir.mkdir(parents=True, exist_ok=True)
-        marker.touch()
+        marker.write_text(sink)
     except OSError:
         pass
 

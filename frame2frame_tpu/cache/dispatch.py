@@ -138,13 +138,18 @@ def dispatch(jobs, backend="process", nprocs=None, slurm_opts=None,
         from concurrent.futures import ProcessPoolExecutor
 
         nprocs = nprocs or max(os.cpu_count() // 2, 1)
+        ok_jobs = []
         with ProcessPoolExecutor(max_workers=nprocs) as pool:
             futs = [pool.submit(_run_job_subprocess, str(j)) for j in jobs]
             for j, fu in zip(jobs, futs):
                 rc = fu.result()
+                if rc == 0:
+                    ok_jobs.append(j)
                 if verbose:
                     print(f"[dispatch] {j.stem}: rc={rc}")
-        _cleanup_jobs(jobs)
+        # keep the job pickles of failed runs so they can be inspected and
+        # re-dispatched (mirrors _wait_for_cache keeping artifacts on timeout)
+        _cleanup_jobs(ok_jobs)
     else:
         raise ValueError(f"unknown dispatch backend [{backend}]")
 

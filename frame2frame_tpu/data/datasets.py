@@ -116,12 +116,18 @@ class VideoDataset:
     def __getitem__(self, index):
         clean = np.asarray(self._videos[index](), dtype=np.float32)
         key = jax.random.PRNGKey(self.split_seed * 7919 + index)
-        out = self.noise(key, clean)
-        sigma = getattr(self.noise, "sigma", 0.0)
-        if isinstance(out, tuple):
-            noisy, sigma = out
+        # msg noise draws a per-sample sigma; the sample must carry the DRAWN
+        # value so dd_in=4 sigma-map channels match the actual corruption
+        # (reference lightning.py:129-141)
+        if getattr(self.noise, "ntype", "") == "msg":
+            # the [None] makes the whole video one "sample": a single sigma
+            # is drawn for all frames (reference: one sigma per batch element)
+            noisy, sigma = self.noise(key, clean[None], return_sigma=True)
+            noisy = noisy[0]
+            sigma = float(np.asarray(sigma).reshape(-1)[0])
         else:
-            noisy = out
+            noisy = self.noise(key, clean)
+            sigma = getattr(self.noise, "sigma", 0.0)
         T = clean.shape[0]
         sample = Config(
             noisy=np.asarray(noisy, np.float32),
@@ -226,7 +232,6 @@ def filter_subseq(dset, vid_name, frame_start, frame_end):
     via ``slice_sample``.
     """
     idx = [i for i, n in enumerate(dset.names) if n == vid_name or vid_name in n]
-    dset._subseq = (frame_start, frame_end)
     return idx
 
 

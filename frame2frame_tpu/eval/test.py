@@ -37,7 +37,8 @@ def test_pairs():
         "flow": False, "burn_in": False, "arch_name": "default",
         "saved_dir": "./output/saved_examples/", "uuid": "uuid_def",
         "flow_sigma": -1, "internal_adapt_nsteps": 0,
-        "internal_adapt_nepochs": 0, "nframes": 0, "read_flows": False,
+        "internal_adapt_nepochs": 0, "internal_adapt_nframes": 5,
+        "nframes": 0, "read_flows": False,
         "save_deno": True, "bench_bwd": False, "append_noise_map": False,
         "crit_name": "warp", "vid_name": "vid00", "sigma": 25,
         "profile_dir": "",  # capture a jax.profiler device trace here
@@ -144,13 +145,18 @@ def run(cfg):
 
                         acfg = Config(cfg)
                         acfg.adapt_nepochs = tcfg.internal_adapt_nepochs
+                        acfg.adapt_nsteps = tcfg.internal_adapt_nsteps
                         loss_fxn = get_loss_fxn(acfg, optional(cfg, "loss_type", "f2f"))
                         tx, _ = make_optimizer(Config(cfg, scheduler_name="cosa",
                                                       nepochs=tcfg.internal_adapt_nepochs))
                         st = TrainState.create(ms.model, ms.variables, tx,
                                                residual=True)
-                        st, adapt_info = loss_fxn(st, noisy[:, :5] / imax,
-                                                  clean[:, :5] / imax)
+                        # adapt window: first internal_adapt_nframes frames
+                        # (config-driven; the reference hardcodes the first 5,
+                        # test.py:195-196)
+                        nf_a = max(int(tcfg.internal_adapt_nframes), 1)
+                        st, adapt_info = loss_fxn(st, noisy[:, :nf_a] / imax,
+                                                  clean[:, :nf_a] / imax)
 
                         def model_fwd(vid, fl=None, _st=st):
                             B, T = vid.shape[:2]
@@ -178,7 +184,7 @@ def run(cfg):
             with MemIt(memer, "deno_pp"):
                 with TimeIt(timer, "deno_pp"):
                     if tcfg.crit_name == "b2u":
-                        b2u = B2ULoss(-1, -1, 1, -1, "")
+                        b2u = B2ULoss.for_test()
                         pp_cfg = Config(chunk_cfg)
                         pp_cfg.temporal_chunk_size = 1
                         pp_cfg.spatial_chunk_size = 512

@@ -31,6 +31,7 @@ def get_loss_fxn(cfg, loss_type=None):
     use_flow = optional(cfg, "flow", True)
     flow_method = optional(cfg, "flow_method", "tvl1")
     train_bn = optional(cfg, "adapt_train_bn", False)
+    nsteps = optional(cfg, "adapt_nsteps", 0)
 
     if loss_type in ("f2f", "warped", "f2f_plus"):
         crit = WarpedLoss(
@@ -41,7 +42,7 @@ def get_loss_fxn(cfg, loss_type=None):
             wt=1,
         )
         return WrapWarpedLoss(crit, isize, nepochs, nbatch, use_flow,
-                              flow_method, train_bn)
+                              flow_method, train_bn, nsteps)
     if loss_type == "stnls":
         crit = DnlsLoss(
             ws=optional(cfg, "ws", 9), wt=optional(cfg, "wt", 1),
@@ -53,10 +54,10 @@ def get_loss_fxn(cfg, loss_type=None):
             dist_mask=optional(cfg, "dist_mask", 0.1),
         )
         return WrapDnlsLoss(crit, isize, nepochs, nbatch, use_flow,
-                            flow_method, train_bn)
+                            flow_method, train_bn, nsteps)
     if loss_type == "sup":
         return WrapSupLoss(None, isize, nepochs, nbatch, use_flow,
-                           flow_method, train_bn)
+                           flow_method, train_bn, nsteps)
     if loss_type == "none":
         # signature mirrors _WrapBase.__call__ so direct callers (e.g.
         # instances_adapt.run_training, which always passes sched=) work

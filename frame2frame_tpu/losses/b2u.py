@@ -90,6 +90,15 @@ class B2ULoss:
             self.Thread1, self.Thread2 = 0.4, 1.0
         self.name = "b2u"
 
+    @classmethod
+    def for_test(cls):
+        """Instance for the masked-ensemble eval pass only (eval/test.py's
+        second pass, reference run_ub2_test test.py:49-71). Only ``test()``
+        is meaningful on it; training-schedule fields hold honest defaults
+        instead of sentinel garbage."""
+        return cls(lambda1=1.0, lambda2=2.0, nepochs=1, epoch_ratio=2.0,
+                   ninfo="")
+
     def _beta(self, epoch):
         Lambda = epoch / self.nepochs
         if Lambda <= self.Thread1:

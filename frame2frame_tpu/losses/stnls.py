@@ -154,6 +154,13 @@ class DnlsLoss:
         ps_d = ps_d if ps_d and ps_d > 0 else self.ps
         srch = self.get_search_video(noisy, deno, clean, curr_epoch, key)
 
+        def nmz(v, ps_eff):
+            """normalize_bwd (stnls kernels, stnls_loss.py:279,287): scale the
+            search gradient w.r.t. the video by the patch element count."""
+            if not self.nmz_bwd or ps_eff <= 1:
+                return v
+            return nls.scale_grad(v, 1.0 / float(ps_eff * ps_eff))
+
         if self.dist_crit == "v0":
             assert self.dist_mask > 0.0
             dists0, inds = nls.non_local_search(
@@ -162,7 +169,8 @@ class DnlsLoss:
             )
             dists0 = jax.lax.stop_gradient(dists0) / (ps**2 * F)
             mask = (dists0 < self.dist_mask).astype(deno.dtype)
-            dists = nls.refine_search(deno, noisy, jax.lax.stop_gradient(inds),
+            dists = nls.refine_search(nmz(deno, ps_d), nmz(noisy, ps_d),
+                                      jax.lax.stop_gradient(inds),
                                       wt=wt, ps=ps_d, stride0=stride0,
                                       tables=tables)
             return self._reduce(mask * dists, frame_weight)
@@ -221,7 +229,8 @@ class DnlsLoss:
                                        wt=wt, ps=ps_d, stride0=stride0,
                                        tables=tables)
             weight = (d_self / (ps**2 * F) < self.dist_mask).astype(deno.dtype)
-            dists = nls.refine_search(deno, noisy, inds, wt=wt, ps=ps_d,
+            dists = nls.refine_search(nmz(deno, ps_d), nmz(noisy, ps_d), inds,
+                                      wt=wt, ps=ps_d,
                                       stride0=stride0, tables=tables)
             dists = dists[:, :, 5:-5, 5:-5]
             weight = weight[:, :, 5:-5, 5:-5]

@@ -106,34 +106,42 @@ class WarpedLoss:
         else:
             tj_tab = tables[0]
 
-        loss = 0.0
-        npairs = 0
-        for ti in range(T):
-            per_frame = 0.0
-            for m in range(S):
-                tj = tj_tab[ti, m]
-                flow = comp[:, ti, m]
-                deno_j = jnp.take(deno, tj, axis=1)
-                noisy_j = jnp.take(noisy, tj, axis=1)
-                dists, flow = jax.vmap(
-                    lambda d, n, f: self.refine_flow(d, n, f)
-                )(deno[:, ti], deno_j, flow)
-                mask = (dists < self.dist_mask).astype(deno.dtype)
-                if not self.use_stnls:
-                    mask = None
-                per_frame = per_frame + jnp.mean(
-                    jax.vmap(partial(self.pair_loss, step=step))(
-                        deno[:, ti], noisy_j, flow,
-                        in_mask=mask if mask is not None else None,
-                    )
-                )
-                npairs += 1
-            if frame_weight is None:
-                loss = loss + per_frame
-            else:
-                loss = loss + frame_weight[ti] * per_frame
+        # one lax.scan over the T*S (frame, window-slot) pairs: trace size and
+        # compile time are O(1) in sequence length (like ops/nls.py), where the
+        # former Python double-loop traced O(T*2wt) copies of the pair body
+        tj_flat = jnp.asarray(tj_tab).reshape(T * S)
+        ti_flat = jnp.repeat(jnp.arange(T), S)
+        comp_flat = comp.transpose(1, 2, 0, 3, 4, 5).reshape(
+            (T * S, B, H, W, 2))
         if frame_weight is None:
-            return loss / npairs
+            w_flat = jnp.ones((T * S,), jnp.float32)
+        else:
+            w_flat = jnp.repeat(
+                jnp.asarray(frame_weight, jnp.float32), S)
+
+        def body(acc, xs):
+            ti, tj, flow, w = xs
+            deno_t = jnp.take(deno, ti, axis=1)
+            deno_j = jnp.take(deno, tj, axis=1)
+            noisy_j = jnp.take(noisy, tj, axis=1)
+            dists, flow = jax.vmap(
+                lambda d, n, f: self.refine_flow(d, n, f)
+            )(deno_t, deno_j, flow)
+            mask = (dists < self.dist_mask).astype(deno.dtype)
+            if not self.use_stnls:
+                mask = None
+            pair = jnp.mean(
+                jax.vmap(partial(self.pair_loss, step=step))(
+                    deno_t, noisy_j, flow,
+                    in_mask=mask if mask is not None else None,
+                )
+            )
+            return acc + w * pair, None
+
+        loss, _ = jax.lax.scan(body, jnp.float32(0.0),
+                               (ti_flat, tj_flat, comp_flat, w_flat))
+        if frame_weight is None:
+            return loss / (T * S)
         return loss, jnp.sum(frame_weight) * S
 
 

@@ -227,7 +227,11 @@ def init_dncnn(key, channels=1, num_layers=17, residual=False, dtype=jnp.float32
     """Initialize a DnCNN; returns (model, variables dict with params+batch_stats).
 
     conv_impl="auto" resolves to the fused Pallas training pipeline on TPU
-    and the pair-packed XLA path elsewhere."""
+    and the pair-packed XLA path elsewhere. NOTE the accuracy mode this
+    implies on TPU: the fused pipeline stores bf16 activations between layers
+    (validated ~0.21 dB max PSNR deviation vs the f32 chain,
+    scripts/validate_fused.py); callers that need strict f32 numerics should
+    pass conv_impl="packed" explicitly."""
     if conv_impl == "auto":
         conv_impl = "fused" if jax.default_backend() == "tpu" else "packed"
     model = DnCNN(channels=channels, num_layers=num_layers, residual=residual,

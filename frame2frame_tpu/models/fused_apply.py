@@ -52,18 +52,13 @@ def can_fuse(model, x_shape):
     th = default_tile_h(W2)
     if (th * (W2 + 2)) % 16 != 0 or H < th or model.num_layers < 3:
         return False
-    # bwd kernel scratch (ops/fused_stack.py): 3 double-buffered bf16 slabs,
-    # a double-buffered f32 dz slab, an f32 interior slab, the dw2 block and
-    # the double-buffered output tile; must stay under the 100 MB scoped
-    # VMEM cap with headroom for accumulators
-    wpad = W2 + 2
-    n = th * wpad
-    off = -(-(wpad + 1) // 16) * 16
-    slab = n + 2 * off
-    bwd_bytes = (3 * 2 * slab * 128 * 2 + 2 * slab * 128 * 4
-                 + 2 * n * 128 * 4 + 9 * 128 * 128 * 4 + 2 * n * 128 * 2
-                 + 3 * n * 128 * 4)  # + dX accumulator values
-    return bwd_bytes < 88 * 1024 * 1024
+    # backward-kernel scratch must stay under the 100 MB scoped VMEM cap with
+    # headroom for accumulators; the byte accounting lives next to the kernel
+    # (Geom.bwd_scratch_bytes) so this guard cannot drift from it
+    from ..ops.fused_stack import Geom
+
+    g = Geom(H, W2, th)
+    return g.bwd_scratch_bytes() < 88 * 1024 * 1024
 
 
 def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
@@ -90,7 +85,9 @@ def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
     noise2 = end_conv(a_out, params["conv_out"]["kernel"])
     noise = unpack_image(noise2).astype(jnp.float32)
 
-    new_bs = {}
+    # copy unrecognized batch_stats entries through unchanged so callers with
+    # extra collections don't silently lose them
+    new_bs = {k: v for k, v in batch_stats.items()}
     for i in range(nmid):
         old = batch_stats[f"bn_{i}"]
         m = jax.lax.stop_gradient(means[i])

@@ -82,6 +82,19 @@ class Geom:
         self.valid_hi = self.n + H * self.wpad
         self.count = float(2 * H * W2)  # pixels per original channel
 
+    def bwd_scratch_bytes(self, store_bytes=2):
+        """VMEM scratch footprint of the backward kernel — MUST mirror
+        ``bwd_layer``'s scratch_shapes (plus its dX partial accumulators).
+        ``can_fuse`` (models/fused_apply.py) guards on this so the estimate
+        and the kernel cannot drift apart."""
+        slab, n = self.slab, self.n
+        return (3 * 2 * slab * 128 * store_bytes  # g/zi/zp slabs (x2 buffers)
+                + 2 * slab * 128 * 4              # dz slab, f32
+                + 2 * n * 128 * 4                 # a_prev slab, f32
+                + 9 * 128 * 128 * 4               # dw2 accumulator
+                + 2 * n * 128 * store_bytes       # da output double buffer
+                + 3 * n * 128 * 4)                # dX partial accumulators
+
 
 def default_tile_h(W2):
     """Smallest tile height with 16-aligned tile rows (8 for even wpad % 4)."""

@@ -43,6 +43,24 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+def scale_grad(x, scale):
+    """Identity forward; multiplies the cotangent by ``scale`` on backward.
+
+    Implements the stnls kernels' ``normalize_bwd`` option (reference
+    stnls_loss.py:279,287): with scale = 1/ps^2 the gradient flowing into the
+    video operands of a patch search is normalized by the patch element
+    count, making gradient magnitude patch-size invariant while leaving the
+    forward distances untouched.
+    """
+
+    @jax.custom_vjp
+    def _f(x):
+        return x
+
+    _f.defvjp(lambda x: (x, None), lambda _, g: (g * scale,))
+    return _f(x)
+
+
 def _reflect_idx(i, n):
     """Reflect index into [0, n) (mirror without repeating the edge)."""
     i = jnp.abs(i)

