@@ -1,17 +1,29 @@
 """End-to-end benchmark: streaming blind denoising at 540p on one chip.
 
-Measures the full per-frame pipeline — on-device TV-L1 flow (denoising params,
-tvl1flow.sh:10-18) + 20-iteration online fine-tune + eval-mode denoise — the
-reference workload of blind_denoising.py (BASELINE.json configs 1/2/5 fused).
+Measures the full per-frame pipeline — TV-L1 flow (denoising params,
+tvl1flow.sh:10-18) + 20-iteration online fine-tune + eval-mode denoise +
+output readback — the reference workload of blind_denoising.py
+(BASELINE.json configs 1/2/5 fused).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Round-3 protocol (the round-2 verdict's bench hardening):
+- >= 20 timed frames after warm-up (steady state, not a burst);
+- flow solved on the host CPU in a background thread, overlapping the TPU
+  fine-tune (train/online.py AsyncFlowSolver) — per-frame wall-clock is
+  max(finetune, flow), mirroring the reference's offline flow decoupling;
+- denoised frames are read back device->host through a writer thread (the
+  real pipeline writes every output frame);
+- real frames are preferred when a sequence exists under data/ (e.g. a
+  derf-hd clip: data/<set>/<vid>/*.png); synthetic moving texture otherwise;
+- the per-stage split and a 1080p streaming number ride in "detail".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
 Baseline provenance (BASELINE.md): the reference publishes no numbers; the
 reference C TV-L1 binary measured on this host CPU takes ~0.35 s/frame at 540p
 (bflow only, denoising params). The 20-iteration DnCNN-17 fine-tune+denoise at
-540p is ~35 TFLOP of conv work per frame (0.58 TFLOP fwd x ~3 for fwd+bwd x 20
-iters + eval fwd); on a paper-era CUDA GPU sustaining ~10 TFLOPs on these
-convs that is ~3.5 s/frame — reference total ~3.85 s/frame => ~0.26 fps.
+540p is ~35 TFLOP of conv work per frame; on a paper-era CUDA GPU sustaining
+~10 TFLOPs on these convs that is ~3.5 s/frame — reference total
+~3.85 s/frame => ~0.26 fps.
 
 Timing note: under the axon TPU tunnel ``block_until_ready`` does not wait for
 device completion — a small device->host readback of the result forces it.
@@ -19,6 +31,8 @@ device completion — a small device->host readback of the result forces it.
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
 
 import numpy as np
 
@@ -26,8 +40,9 @@ REF_SECONDS_PER_FRAME = 3.85  # measured C flow (0.35) + FLOP-based CUDA finetun
 
 H, W = 540, 960
 WARMUP_FRAMES = 2
-BENCH_FRAMES = 8
+BENCH_FRAMES = 20
 ITERS = 20
+BENCH_1080P_FRAMES = 4  # secondary metric (BASELINE.json config 5)
 
 
 def _clear_stale_tpu_lock():
@@ -52,71 +67,153 @@ def _clear_stale_tpu_lock():
         os.close(fd)
 
 
-def main():
-    _clear_stale_tpu_lock()
+def _real_frames(h, w, count):
+    """Frames from a real sequence under data/ (first video dir with enough
+    images), center-cropped/resized to (h, w) grayscale in [0,1]; None if no
+    dataset is present."""
+    root = Path(__file__).resolve().parent / "data"
+    if not root.is_dir():
+        return None
+    from PIL import Image
+
+    for vid in sorted(root.glob("*/*/")):
+        imgs = sorted(p for p in vid.iterdir()
+                      if p.suffix.lower() in (".png", ".jpg", ".ppm", ".pgm"))
+        if len(imgs) < count:
+            continue
+        out = []
+        for p in imgs[:count]:
+            img = Image.open(p).convert("L")
+            if img.size != (w, h):
+                img = img.resize((w, h), Image.BILINEAR)
+            out.append(np.asarray(img, np.float32) / 255.0)
+        return np.stack(out)
+    return None
+
+
+def _synthetic_frames(h, w, count, seed=0):
+    rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(rng.random((h + count + 8, w + 8)).astype(np.float32), 3.0)
+    base = (base - base.min()) / (base.max() - base.min())
+    return np.stack([
+        np.clip(base[4 + t:4 + t + h, 4:4 + w]
+                + rng.normal(0, 25 / 255.0, (h, w)).astype(np.float32), 0, 1)
+        for t in range(count)
+    ]).astype(np.float32)
+
+
+def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None):
+    """Run the streaming pipeline over ``frames`` ((T,H,W) float [0,1]);
+    returns (fps, detail) over the frames after ``warmup``."""
     import jax
     import jax.numpy as jnp
 
     from frame2frame_tpu.flow.tvl1 import DENOISING_PARAMS, make_batched_tvl1
     from frame2frame_tpu.models.dncnn import init_dncnn
-    from frame2frame_tpu.train.online import OnlineDenoiser
+    from frame2frame_tpu.train.online import (
+        AsyncFlowSolver,
+        OnlineDenoiser,
+        _want_async_flow,
+    )
 
-    rng = np.random.default_rng(0)
-    base = rng.random((H + 16, W + 16)).astype(np.float32)
-    # smooth scene so the flow solver does representative work
-    from scipy.ndimage import gaussian_filter
+    T, h, w = frames.shape
+    if engine is None:
+        model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                      num_layers=17)
+        engine = OnlineDenoiser(model, variables, iters=iters)
 
-    base = gaussian_filter(base, 3.0).astype(np.float32)
-    base = (base - base.min()) / (base.max() - base.min())
-    frames = np.stack(
-        [
-            np.clip(
-                base[4 + t : 4 + t + H, 4 : 4 + W]
-                + rng.normal(0, 25 / 255.0, (H, W)).astype(np.float32),
-                0,
-                1,
-            )
-            for t in range(WARMUP_FRAMES + BENCH_FRAMES + 1)
-        ]
-    ).astype(np.float32)
+    frames_np = [f[..., None] for f in frames]
+    frames_dev = [jnp.asarray(f) for f in frames_np]
 
-    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1, num_layers=17)
-    engine = OnlineDenoiser(model, variables, iters=ITERS)
-    # lookahead flow batching: the TV-L1 solve is latency-bound (small-pyramid
-    # while_loop), so one vmapped call for a window of pairs amortizes it
-    # (265 -> 89 ms/flow at 540p, K=8) — the streaming pipeline does the same
-    # (train/online.py flow_batch)
-    solver = make_batched_tvl1(W, H, **DENOISING_PARAMS)
+    use_async = _want_async_flow("auto")
+    if use_async:
+        solver = AsyncFlowSolver(w, h, dict(DENOISING_PARAMS), lookahead=3)
 
-    def solve_flows(ts):
-        I1 = jnp.stack([frames_dev[t][..., 0] for t in ts]) * 255.0
-        I0 = jnp.stack([frames_dev[t - 1][..., 0] for t in ts]) * 255.0
-        return solver(I1, I0)
+        def flow_for(i):
+            for j in range(i, min(i + solver.lookahead, T - 1) + 1):
+                solver.prefetch(j, frames_np[j], frames_np[j - 1])
+            return solver.get(i)
+    else:
+        batched = make_batched_tvl1(w, h, **DENOISING_PARAMS)
+        cache = {}
 
-    def force(x):
-        # block_until_ready is not a completion barrier under the axon tunnel;
-        # a tiny readback is
-        return float(jnp.sum(x.ravel()[:2]))
+        def flow_for(i, K=8):
+            if i not in cache:
+                idx = list(range(i, min(i + K - 1, T - 1) + 1))
+                pad = idx + [idx[-1]] * (K - len(idx))
+                I1 = jnp.stack([frames_dev[j][..., 0] for j in pad]) * 255.0
+                I0 = jnp.stack([frames_dev[j - 1][..., 0] for j in pad]) * 255.0
+                fl = batched(I1, I0)
+                for k, j in enumerate(idx):
+                    cache[j] = fl[k]
+            return cache.pop(i)
 
-    frames_dev = [jnp.asarray(f[..., None]) for f in frames]
-    # warmup (compile): flow batch + two online steps
-    wts = list(range(1, WARMUP_FRAMES + 1))
-    wflows = solve_flows((wts * BENCH_FRAMES)[:BENCH_FRAMES])
-    for k, t in enumerate(wts):
-        deno, _ = engine.process_frame(frames_dev[t], frames_dev[t - 1],
-                                       wflows[k])
-    force(deno)
+    # writer thread: output readback overlaps the next frame's compute (the
+    # real pipeline writes each denoised frame to disk the same way)
+    writer = ThreadPoolExecutor(max_workers=1)
+    sink = []
 
+    def emit(deno):
+        sink.append(writer.submit(np.asarray, deno))
+
+    # warm-up (compile + steady the flow worker)
+    for i in range(1, warmup + 1):
+        fl = flow_for(i)
+        deno, _ = engine.process_frame(frames_dev[i], frames_dev[i - 1], fl)
+    np.asarray(deno)  # force completion
+
+    flow_wait = 0.0
     t0 = time.perf_counter()
-    ts = list(range(WARMUP_FRAMES + 1, WARMUP_FRAMES + 1 + BENCH_FRAMES))
-    flows = solve_flows(ts)
-    for k, t in enumerate(ts):
-        deno, _ = engine.process_frame(frames_dev[t], frames_dev[t - 1],
-                                       flows[k])
-    force(deno)
+    for i in range(warmup + 1, T):
+        tw = time.perf_counter()
+        fl = flow_for(i)
+        flow_wait += time.perf_counter() - tw
+        deno, _ = engine.process_frame(frames_dev[i], frames_dev[i - 1], fl)
+        emit(deno)
+    for fu in sink:
+        fu.result()
+    np.asarray(deno)  # force any trailing device work
     dt = time.perf_counter() - t0
 
-    fps = BENCH_FRAMES / dt
+    nbench = T - warmup - 1
+    fps = nbench / dt
+    detail = {
+        "frames": nbench,
+        "ms_per_frame": round(dt / nbench * 1000, 1),
+        "flow_wait_ms_per_frame": round(flow_wait / nbench * 1000, 1),
+        "flow_backend": "cpu-overlap" if use_async else "tpu-batched",
+    }
+    if use_async:
+        solver.close()
+    writer.shutdown(wait=True)
+    return fps, detail
+
+
+def main():
+    _clear_stale_tpu_lock()
+    total = WARMUP_FRAMES + BENCH_FRAMES + 1
+    frames = _real_frames(H, W, total)
+    source = "real" if frames is not None else "synthetic"
+    if frames is None:
+        frames = _synthetic_frames(H, W, total)
+
+    fps, detail = run_stream(frames)
+    detail["frame_source"] = source
+
+    # secondary: 1080p streaming (BASELINE.json config 5)
+    try:
+        total_hd = WARMUP_FRAMES + BENCH_1080P_FRAMES + 1
+        hd = _real_frames(1080, 1920, total_hd)
+        if hd is None:
+            hd = _synthetic_frames(1080, 1920, total_hd, seed=1)
+        fps_hd, detail_hd = run_stream(hd, warmup=WARMUP_FRAMES)
+        detail["fps_1080p"] = round(fps_hd, 4)
+        detail["ms_per_frame_1080p"] = detail_hd["ms_per_frame"]
+    except Exception as e:  # the headline metric must still print
+        detail["fps_1080p_error"] = f"{type(e).__name__}: {e}"[:120]
+
     baseline_fps = 1.0 / REF_SECONDS_PER_FRAME
     print(
         json.dumps(
@@ -125,6 +222,7 @@ def main():
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / baseline_fps, 3),
+                "detail": detail,
             }
         )
     )

@@ -75,7 +75,11 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(self.features, (3, 3), strides=(2, 2), padding="SAME",
+        # explicit torch-style pad 1: with stride 2, XLA's "SAME" pads
+        # asymmetrically ((0,1)) while torch Conv2d(padding=1) pads both
+        # sides — windows would shift one pixel
+        x = nn.Conv(self.features, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="down")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
@@ -184,6 +188,87 @@ class FastDVDnetVideo(nn.Module):
             window = jnp.stack([vid[:, i] for i in idx], axis=1)
             outs.append(net(window, noise_map, train))
         return jnp.stack(outs, axis=1)
+
+
+def import_fastdvdnet_state_dict(state_dict, video_wrapper=True):
+    """Convert an official FastDVDnet torch ``state_dict`` (Tassano et al.,
+    github fastdvdnet model.pth; key layout ``temp{1,2}.<block>.convblock.N.*``)
+    to flax variables for :class:`FastDVDnet` / :class:`FastDVDnetVideo`.
+
+    Accepts torch tensors or numpy arrays; strips DataParallel ``module.``
+    prefixes. Torch convs are OIHW -> flax HWIO (grouped convs keep
+    I = in_ch/groups, matching ``feature_group_count``).
+    """
+    import numpy as np
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.array(v)
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = to_np(v)
+
+    def conv(key):
+        return jnp.asarray(sd[key + ".weight"].transpose(2, 3, 1, 0))
+
+    def bn(key):
+        p = {"scale": jnp.asarray(sd[key + ".weight"]),
+             "bias": jnp.asarray(sd[key + ".bias"])}
+        s = {"mean": jnp.asarray(sd[key + ".running_mean"]),
+             "var": jnp.asarray(sd[key + ".running_var"])}
+        return p, s
+
+    params, stats = {}, {}
+
+    def put(path, p, s=None):
+        d = params
+        for part in path[:-1]:
+            d = d.setdefault(part, {})
+        d[path[-1]] = p
+        if s is not None:
+            d = stats
+            for part in path[:-1]:
+                d = d.setdefault(part, {})
+            d[path[-1]] = s
+
+    def cvblock(dst, src):
+        """flax CvBlock <- torch CvBlock (convblock indices 0,1,3,4)."""
+        for i, (ci, bi) in enumerate(((0, 1), (3, 4))):
+            put(dst + (f"conv{i}",), {"kernel": conv(f"{src}.convblock.{ci}")})
+            p, s = bn(f"{src}.convblock.{bi}")
+            put(dst + (f"bn{i}",), p, s)
+
+    for t in ("temp1", "temp2"):
+        # InputCvBlock: grouped conv, BN, proj conv, BN (indices 0,1,3,4)
+        put((t, "inc", "conv_group"), {"kernel": conv(f"{t}.inc.convblock.0")})
+        p, s = bn(f"{t}.inc.convblock.1"); put((t, "inc", "bn0"), p, s)
+        put((t, "inc", "conv_proj"), {"kernel": conv(f"{t}.inc.convblock.3")})
+        p, s = bn(f"{t}.inc.convblock.4"); put((t, "inc", "bn1"), p, s)
+        # DownBlocks: stride-2 conv, BN, nested CvBlock at index 3
+        for flax_name, tname in (("down0", "downc0"), ("down1", "downc1")):
+            put((t, flax_name, "down"),
+                {"kernel": conv(f"{t}.{tname}.convblock.0")})
+            p, s = bn(f"{t}.{tname}.convblock.1")
+            put((t, flax_name, "bn"), p, s)
+            cvblock((t, flax_name, "cv"), f"{t}.{tname}.convblock.3")
+        # UpBlocks: nested CvBlock at index 0, then conv at index 1
+        for flax_name, tname in (("up2", "upc2"), ("up1", "upc1")):
+            cvblock((t, flax_name, "cv"), f"{t}.{tname}.convblock.0")
+            put((t, flax_name, "up"),
+                {"kernel": conv(f"{t}.{tname}.convblock.1")})
+        # OutputCvBlock: conv, BN, conv (indices 0,1,3)
+        put((t, "outc", "conv0"), {"kernel": conv(f"{t}.outc.convblock.0")})
+        p, s = bn(f"{t}.outc.convblock.1"); put((t, "outc", "bn"), p, s)
+        put((t, "outc", "conv1"), {"kernel": conv(f"{t}.outc.convblock.3")})
+
+    if video_wrapper:
+        params = {"net": params}
+        stats = {"net": stats}
+    return {"params": params, "batch_stats": stats}
 
 
 def init_fastdvdnet(key, channels=3, dtype=jnp.float32, spatial=(64, 64)):

@@ -114,13 +114,16 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
         from_flat,
         fwd_layer,
         pack_kernel_flat,
+        pack_kernel_odd,
         tile_vec,
         to_flat,
+        use_odd,
     )
 
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
     end_conv = _make_end_conv(store_dtype)
+    odd = use_odd()
 
     x2 = pack_image(x)
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
@@ -131,8 +134,9 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
     s_vec = jnp.ones((128,), jnp.float32)
     b_vec = jnp.zeros((128,), jnp.float32)
     for i in range(nmid):
-        w2 = pack_kernel_flat(params[f"conv_{i}"]["kernel"])
-        cur, _ = fwd_layer(cur, w2, s_vec, b_vec, g)
+        kern = params[f"conv_{i}"]["kernel"]
+        w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
+        cur, _ = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd)
         s64, b64, _ = _affine_from_stats(
             batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
             params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])

@@ -38,6 +38,7 @@ the reference hot loop (blind_denoising.py:216-222) and the DnCNN mid layers
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -53,6 +54,23 @@ EPS = 1e-5
 
 def _interpret():
     return jax.default_backend() != "tpu"
+
+
+def use_odd():
+    """Default conv formulation: the odd-slab merged-tap scheme (6 dense
+    128x128 dots per layer) unless F2F_ODD=0 selects the original pair-packed
+    9-dot form (each tap matrix half zero blocks).
+
+    Why (round-3 formulation change): with 64-channel nets on the 128-lane
+    MXU, the pair-packed taps waste half their FLOPs on zero 64x64 blocks
+    (2x tax, BASELINE.md ceiling analysis). Building a one-pixel-shifted
+    "odd" activation slab O[r] = (pixels 2*w2+1, 2*w2+2) lets each kernel
+    row dy be covered by TWO matmuls with 3/4-dense weights
+    ([[W0,0],[W1,W0]] against O at pair -1, [[W2,W1],[0,W2]] against O at
+    pair 0) instead of three half-dense ones — a 1.5x FLOP cut on the
+    forward, dX and dW products for one extra roll+select VPU pass.
+    """
+    return os.environ.get("F2F_ODD", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -78,22 +96,31 @@ class Geom:
         self.slab = self.n + 2 * self.off
         self.shifts = tuple((dy - 1) * self.wpad + (dx - 1)
                             for dy in range(3) for dx in range(3))
+        # odd formulation: slot t = dy*2 + s slides the odd slab by
+        # (dy-1)*wpad + (-1 for s=0, 0 for s=1) rows (pair units)
+        self.odd_shifts = tuple((dy - 1) * self.wpad + d
+                                for dy in range(3) for d in (-1, 0))
         self.valid_lo = self.n
         self.valid_hi = self.n + H * self.wpad
         self.count = float(2 * H * W2)  # pixels per original channel
 
     def bwd_scratch_bytes(self, store_bytes=2):
         """VMEM scratch footprint of the backward kernel — MUST mirror
-        ``bwd_layer``'s scratch_shapes (plus its dX partial accumulators).
-        ``can_fuse`` (models/fused_apply.py) guards on this so the estimate
-        and the kernel cannot drift apart."""
+        ``bwd_layer``'s scratch_shapes (plus its dX partial accumulators and
+        the odd-form derived slabs). ``can_fuse`` (models/fused_apply.py)
+        guards on this so the estimate and the kernel cannot drift apart."""
         slab, n = self.slab, self.n
+        odd_extra = 0
+        if use_odd():
+            # odd slab of dz (value, materialized) + odd slab of a_prev
+            odd_extra = slab * 128 * 4 + (n + ALIGN) * 128 * 4
         return (3 * 2 * slab * 128 * store_bytes  # g/zi/zp slabs (x2 buffers)
                 + 2 * slab * 128 * 4              # dz slab, f32
-                + 2 * n * 128 * 4                 # a_prev slab, f32
-                + 9 * 128 * 128 * 4               # dw2 accumulator
+                + 2 * (n + ALIGN) * 128 * 4       # a_prev slab, f32
+                + 9 * 128 * 128 * 4               # dw accumulator (>= 6-tap)
                 + 2 * n * 128 * store_bytes       # da output double buffer
-                + 3 * n * 128 * 4)                # dX partial accumulators
+                + 3 * n * 128 * 4                 # dX partial accumulators
+                + odd_extra)
 
 
 def default_tile_h(W2):
@@ -154,6 +181,78 @@ def fold_dw2(dw2):
     return jnp.stack(taps)
 
 
+def pack_kernel_odd(w):
+    """(3, 3, C, D) -> (6, 2C, 2D) merged-tap matrices for the odd-slab
+    forward. Slot t = dy*2 + s; block rows m index the operand's pixel
+    halves (2w2+2s+1+m), block cols p the output parity:
+
+        s=0 (O at pair -1): [[W0, 0 ], [W1, W0]]
+        s=1 (O at pair  0): [[W2, W1], [0,  W2]]
+
+    (entry = W[dy, dx] with dx = o_in - p + 1 for input offset o_in.)"""
+    C, D = w.shape[2], w.shape[3]
+    Z = jnp.zeros((C, D), w.dtype)
+    mats = []
+    for dy in range(3):
+        W0, W1, W2 = w[dy, 0], w[dy, 1], w[dy, 2]
+        mats.append(jnp.concatenate([
+            jnp.concatenate([W0, Z], 1), jnp.concatenate([W1, W0], 1)], 0))
+        mats.append(jnp.concatenate([
+            jnp.concatenate([W2, W1], 1), jnp.concatenate([Z, W2], 1)], 0))
+    return jnp.stack(mats)
+
+
+def pack_kernel_odd_bwd(w):
+    """(3, 3, C, D) -> (6, 2D, 2C) merged-tap matrices for the odd-slab dX
+    pass (operand: odd slab of dz, channels = D). Slot t = dy'*2 + s with
+    source row dy = 2 - dy' (vertical flip folded into the weights so the
+    kernel can reuse the forward's positive shift table); V = W^T (io):
+
+        s=0: [[V2, 0 ], [V1, V2]]      s=1: [[V0, V1], [0, V0]]
+
+    (entry = V[dy, dx] with dx = p - o_in where o_in = 2s - 1 + m.)"""
+    wt = jnp.swapaxes(w, 2, 3)
+    D, C = wt.shape[2], wt.shape[3]
+    Z = jnp.zeros((D, C), w.dtype)
+    mats = []
+    for dyp in range(3):
+        dy = 2 - dyp
+        V0, V1, V2 = wt[dy, 0], wt[dy, 1], wt[dy, 2]
+        mats.append(jnp.concatenate([
+            jnp.concatenate([V2, Z], 1), jnp.concatenate([V1, V2], 1)], 0))
+        mats.append(jnp.concatenate([
+            jnp.concatenate([V0, V1], 1), jnp.concatenate([Z, V0], 1)], 0))
+    return jnp.stack(mats)
+
+
+def fold_dw6(dw6):
+    """Adjoint of pack_kernel_odd: (6, 2C, 2D) f32 -> (3, 3, C, D)."""
+    C = dw6.shape[1] // 2
+    D = dw6.shape[2] // 2
+    taps = []
+    for dy in range(3):
+        M0, M1 = dw6[dy * 2], dw6[dy * 2 + 1]
+        tap0 = M0[:C, :D] + M0[C:, D:]
+        tap1 = M0[C:, :D] + M1[:C, D:]
+        tap2 = M1[:C, :D] + M1[C:, D:]
+        taps.append(jnp.stack([tap0, tap1, tap2]))
+    return jnp.stack(taps)
+
+
+def _odd_slab(e):
+    """Odd (one-pixel-shifted) view of an even pair-packed slab value:
+    O[r] = (lanes 64: of e[r], lanes :64 of e[r+1]) so lane h+64m holds the
+    channels of pixel 2*w2 + 1 + m. The last row is wrap garbage — callers
+    never slice it (off >= wpad + 1 bounds every access to slab-2)."""
+    roll = jnp.roll if _interpret() else pltpu.roll
+    # pltpu.roll wants non-negative shifts: -64 == +64 (mod 128 lanes),
+    # -1 == nrows-1 (mod nrows)
+    r0 = roll(e, 64, axis=1)               # lane rotate: [e[:,64:], e[:,:64]]
+    r1 = roll(r0, e.shape[0] - 1, axis=0)  # row r+1 view
+    lane = lax.broadcasted_iota(jnp.int32, e.shape, 1)
+    return jnp.where(lane < 64, r0, r1)
+
+
 def tile_vec(v):
     """(64,) -> (128,) duplicated across the two packing parities."""
     return jnp.concatenate([v, v])
@@ -178,7 +277,7 @@ def _slab_dma(hbm, slabs, sems, j, slot, g):
 
 
 def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
-                z_out, stats_ref, zslab, aslab, sem, *, g):
+                z_out, stats_ref, zslab, aslab, sem, *, g, odd):
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
 
@@ -203,13 +302,35 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         # validity: global flat position within the real image rows
         pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
         valid = ((pos >= g.valid_lo) & (pos < g.valid_hi)).astype(jnp.float32)
-        as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
-                  * (valid * cmask_slab_ref[:]))
+        if odd:
+            # build the ODD activation slab in ONE pass: roll the bf16 z slab
+            # (lane permute + row shift are cheap on bf16), then apply the
+            # affine+ReLU directly (the BN vectors are parity-duplicated, so
+            # the affine commutes with the lane rotation); the odd validity
+            # mask comes from a 2D iota — lane half 1 reads flat position
+            # r+1 — instead of rolling the mask
+            # (pltpu.roll is 32-bit only, so rotate after the f32 upcast)
+            roll = jnp.roll if _interpret() else pltpu.roll
+            zr0 = roll(zs[:].astype(jnp.float32), 64, axis=1)
+            zr1 = roll(zr0, slab - 1, axis=0)
+            lane = lax.broadcasted_iota(jnp.int32, (slab, 128), 1)
+            zodd = jnp.where(lane < 64, zr0, zr1)
+            pos2 = (lax.broadcasted_iota(jnp.int32, (slab, 128), 0) + start
+                    + (lane >= 64).astype(jnp.int32))
+            col = lax.rem(lax.rem(pos2, g.wpad) + g.wpad, g.wpad)
+            m2 = ((pos2 >= g.valid_lo) & (pos2 < g.valid_hi)
+                  & (col != 0) & (col != g.wpad - 1)).astype(jnp.float32)
+            as_[:] = (jnp.maximum(zodd.astype(jnp.float32) * s + b, 0.0)
+                      * m2)
+        else:
+            as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
+                      * (valid * cmask_slab_ref[:]))
 
         # three independent partial accumulators break the serial add chain
         # between consecutive dots so the MXU pipeline stays full
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
-        for t, sh in enumerate(g.shifts):
+        shifts = g.odd_shifts if odd else g.shifts
+        for t, sh in enumerate(shifts):
             xs = as_[off + sh:off + sh + n, :]
             parts[t % 3] += lax.dot_general(
                 xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -235,25 +356,29 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
             compute(slot)
 
 
-def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g):
+def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
     """One fused mid-layer forward pass over the flat layout.
 
     zprev_flat: ((T+2)*n, 128) bf16 — previous layer's raw conv output (or
     the stack input in a-space with (s, b) = (1, 0));
-    w2_flat: (9, 128, 128) bf16 packed kernel; s_vec/b_vec: (128,) f32 BN
-    affine of the PREVIOUS layer (z -> a = relu(s*z + b)).
+    w2_flat: (9, 128, 128) bf16 packed kernel (pack_kernel_flat), or
+    (6, 128, 128) merged-tap matrices (pack_kernel_odd) when ``odd``;
+    s_vec/b_vec: (128,) f32 BN affine of the PREVIOUS layer
+    (z -> a = relu(s*z + b)).
 
     Returns (z_flat bf16, stats (2, 128) f32 = (sum z, sum z^2) per lane).
     """
+    ntap = 6 if odd else 9
+    assert w2_flat.shape[0] == ntap, (w2_flat.shape, odd)
     _, cmask_slab = _col_mask(g)
     vecs = jnp.stack([s_vec, b_vec]).astype(jnp.float32)
 
     z_flat, stats = pl.pallas_call(
-        partial(_fwd_kernel, g=g),
+        partial(_fwd_kernel, g=g, odd=odd),
         grid=(g.T + 2,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, 128, 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
@@ -286,7 +411,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g):
 
 def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
                 da_out, dw2_ref, stats_ref, gslab, zislab, zpslab, dzslab,
-                apslab, sem_g, sem_zi, sem_zp, *, g, first_layer):
+                apslab, sem_g, sem_zi, sem_zp, *, g, first_layer, odd):
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
 
@@ -329,14 +454,25 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         gt = gs[:].astype(jnp.float32) * relu_mask       # dL/dy
         dzs[:] = (v[0, :] * gt + v[2, :] * zi + v[3, :]) * vm
 
-        # dX: da[q] = sum_t dz[q - shift_t] @ W2[t]^T(io); three partial
-        # accumulators break the serial add chain (see forward kernel)
+        # dX: three partial accumulators break the serial add chain (see
+        # forward kernel). Odd form: slide the odd slab of dz with the
+        # FORWARD shift table against flip+transpose merged weights
+        # (pack_kernel_odd_bwd); even form: slide dz by -shift against the
+        # io-transposed taps.
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
-        for t, sh in enumerate(g.shifts):
-            ds = dzs[off - sh:off - sh + n, :]
-            parts[t % 3] += lax.dot_general(
-                ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        if odd:
+            odzs = _odd_slab(dzs[:])
+            for t, sh in enumerate(g.odd_shifts):
+                ds = odzs[off + sh:off + sh + n, :]
+                parts[t % 3] += lax.dot_general(
+                    ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            for t, sh in enumerate(g.shifts):
+                ds = dzs[off - sh:off - sh + n, :]
+                parts[t % 3] += lax.dot_general(
+                    ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         acc = parts[0] + parts[1] + parts[2]
         da_out[:] = acc.astype(da_out.dtype)
 
@@ -344,20 +480,37 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         # sum_m a[m+s] dz[m] is re-indexed as sum_m a[m] dz[m-s], which is
         # globally equivalent under the tile accumulation and lets the a
         # scratch drop its halo (dz already has one)
-        aps[:] = (jnp.maximum(
-            zps[off:off + n, :].astype(jnp.float32) * v[4, :]
-            + v[5, :], 0.0) * vm[off:off + n, :])
-        for t, sh in enumerate(g.shifts):
-            dsl = dzs[off - sh:off - sh + n, :]
-            dw2_ref[t] += lax.dot_general(
-                aps[:], dsl, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        if odd:
+            # dM[t] = sum_r O_ap[r] (x) dz[r - odd_shift_t]: the odd slab of
+            # a_prev needs n+1 interior rows (row r+1 feeds lane half 1), so
+            # build one ALIGN-extended a_prev slab and reuse its interior for
+            # the epilogue below (no separate aps pass)
+            aps[:] = (jnp.maximum(
+                zps[off:off + n + ALIGN, :].astype(jnp.float32) * v[4, :]
+                + v[5, :], 0.0) * vm[off:off + n + ALIGN, :])
+            oap = _odd_slab(aps[:])[:n, :]
+            for t, sh in enumerate(g.odd_shifts):
+                dsl = dzs[off - sh:off - sh + n, :]
+                dw2_ref[t] += lax.dot_general(
+                    oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            ap_int = aps[0:n, :]
+        else:
+            aps[:] = (jnp.maximum(
+                zps[off:off + n + ALIGN, :].astype(jnp.float32) * v[4, :]
+                + v[5, :], 0.0) * vm[off:off + n + ALIGN, :])
+            ap_int = aps[0:n, :]
+            for t, sh in enumerate(g.shifts):
+                dsl = dzs[off - sh:off - sh + n, :]
+                dw2_ref[t] += lax.dot_general(
+                    ap_int, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
         if not first_layer:
             # epilogue: BN-backward reductions for layer i-1 from the da we
             # just produced: sum(gt_prev), sum(gt_prev * zhat_prev)
             m = (cmask_slab_ref[off:off + n, :] * valid[off:off + n, :])
-            gp = acc * (aps[:] > 0.0).astype(jnp.float32) * m
+            gp = acc * (ap_int > 0.0).astype(jnp.float32) * m
             zhp = zps[off:off + n, :].astype(jnp.float32) * v[6, :] + v[7, :]
             stats_ref[0, :] += jnp.sum(gp, axis=0)
             stats_ref[1, :] += jnp.sum(gp * zhp, axis=0)
@@ -376,27 +529,32 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
 
 
 def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
-              first_layer=False):
+              first_layer=False, odd=False):
     """One fused mid-layer backward pass.
 
     g_flat: cotangent of a_i (this layer's post-ReLU output) in flat layout;
     zi_flat / zprev_flat: saved raw conv outputs of layers i and i-1;
-    w2t_flat: (9, 128, 128) — packed kernel io-transposed per tap (NOT
-    tap-flipped: the kernel slices with -shift, which is the flip);
+    w2t_flat: (9, 128, 128) packed kernel io-transposed per tap (NOT
+    tap-flipped: the even kernel slices with -shift, which is the flip), or
+    (6, 128, 128) flip+transpose merged taps (pack_kernel_odd_bwd) when
+    ``odd``;
     vecs: (8, 128) f32 prefolded per-channel vectors (see kernel comment).
 
-    Returns (da_prev_flat bf16, dw2 (9,128,128) f32, stats_prev (2,128) f32).
+    Returns (da_prev_flat bf16, dw (ntap,128,128) f32 — fold with fold_dw2
+    or fold_dw6 per mode — and stats_prev (2,128) f32).
     """
+    ntap = 6 if odd else 9
+    assert w2t_flat.shape[0] == ntap, (w2t_flat.shape, odd)
     _, cmask_slab = _col_mask(g)
 
     da, dw2, stats = pl.pallas_call(
-        partial(_bwd_kernel, g=g, first_layer=first_layer),
+        partial(_bwd_kernel, g=g, first_layer=first_layer, odd=odd),
         grid=(g.T + 2,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, 128, 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -406,13 +564,13 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
         out_specs=[
             pl.BlockSpec((g.n, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 128, 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g.tot, 128), g_flat.dtype),
-            jax.ShapeDtypeStruct((9, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntap, 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((2, 128), jnp.float32),
         ],
         scratch_shapes=[
@@ -420,7 +578,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
             pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
             pltpu.VMEM((2, g.slab, 128), jnp.float32),
-            pltpu.VMEM((2, g.n, 128), jnp.float32),
+            pltpu.VMEM((2, g.n + ALIGN, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -468,6 +626,7 @@ def fused_mid_stack(ws, gammas, betas, a1, H, tile_h,
 def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
                store_dtype=jnp.bfloat16):
     L = ws.shape[0]
+    odd = use_odd()
     g = Geom(H, a1.shape[2], tile_h)
     a_flat = to_flat(a1.astype(store_dtype), g)
 
@@ -476,9 +635,9 @@ def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
     b_vec = jnp.zeros((128,), jnp.float32)
     z_list, means, vars_, svecs, bvecs = [], [], [], [], []
     for i in range(L):
-        w2 = pack_kernel_flat(ws[i])
+        w2 = pack_kernel_odd(ws[i]) if odd else pack_kernel_flat(ws[i])
         svecs.append(s_vec); bvecs.append(b_vec)
-        z, stats = fwd_layer(cur, w2, s_vec, b_vec, g)
+        z, stats = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd)
         m = fold_vec(stats[0]) / g.count
         v = fold_vec(stats[1]) / g.count - jnp.square(m)
         s64, b64, _ = _affine_from_stats(m, v, gammas[i], betas[i])
@@ -502,6 +661,7 @@ def _fused_bwd(H, tile_h, store_dtype, res, cts):
     da_out, _dm, _dv = cts  # stat cotangents are zero (stop_gradient updates)
     ws, gammas, betas, a_flat, z_list, svecs, bvecs, means, vars_ = res
     L = ws.shape[0]
+    odd = use_odd()
     g = Geom(H, da_out.shape[2], tile_h)
 
     # cotangent of z_L through the final BN+ReLU, reduced in FLAT space (the
@@ -537,11 +697,12 @@ def _fused_bwd(H, tile_h, store_dtype, res, cts):
             s_i, b_i, tile_vec(B), tile_vec(C),
             svecs[i], bvecs[i], D, E,
         ]).astype(jnp.float32)
-        w2t = _io_t(pack_kernel_flat(ws[i]))
+        w2t = (pack_kernel_odd_bwd(ws[i]) if odd
+               else _io_t(pack_kernel_flat(ws[i])))
         zprev = z_list[i - 1] if i > 0 else a_flat
         da, dw2, stats = bwd_layer(g_flat, z_list[i], zprev, w2t, vecs, g,
-                                   first_layer=(i == 0))
-        dws[i] = fold_dw2(dw2)
+                                   first_layer=(i == 0), odd=odd)
+        dws[i] = fold_dw6(dw2) if odd else fold_dw2(dw2)
         dgammas[i] = dgamma
         dbetas[i] = dbeta
         if i > 0:

@@ -130,6 +130,68 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None):
     return step
 
 
+class AsyncFlowSolver:
+    """TV-L1 solved on the host CPU backend in a background thread.
+
+    The TPU executes one program at a time, so an on-device flow solve can
+    never overlap the fine-tune — it adds its full cost to every frame
+    (~91 ms amortized at 540p, round-2 decomposition). Solving flow on the
+    CPU backend in a worker thread makes per-frame wall-clock
+    ~ max(finetune_tpu, flow_cpu) instead of the sum; the result is shipped
+    to the TPU with an async device_put so the transfer also overlaps.
+    The reference decoupled flow from fine-tuning the same way — offline
+    precompute by the C binary (tvl1flow.sh:10-18).
+
+    Measured on this host: 190 ms/flow at 540p on one CPU core vs the
+    ~710 ms/frame TPU fine-tune — fully hidden with a small lookahead.
+    """
+
+    def __init__(self, W, H, params, lookahead=3):
+        self._cpu = jax.devices("cpu")[0]
+        self._tpu = jax.devices()[0]
+        with jax.default_device(self._cpu):
+            from ..flow.tvl1 import make_tvl1_solver
+
+            self._solve = make_tvl1_solver(W, H, **params)
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._futs = {}
+        self.lookahead = lookahead
+
+    def _work(self, cur_np, prev_np):
+        with jax.default_device(self._cpu):
+            cur = jnp.asarray(cur_np[..., 0] * 255.0)
+            prev = jnp.asarray(prev_np[..., 0] * 255.0)
+            fl = np.asarray(self._solve(cur, prev))
+        # async H2D: the transfer rides under the TPU compute in flight
+        return jax.device_put(fl, self._tpu)
+
+    def prefetch(self, i, cur_np, prev_np):
+        """Schedule flow i (cur -> prev coords) if not already in flight."""
+        if i not in self._futs:
+            self._futs[i] = self._pool.submit(self._work, cur_np, prev_np)
+
+    def get(self, i):
+        return self._futs.pop(i).result()
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+
+
+def _want_async_flow(mode="auto"):
+    """CPU-thread flow overlap: on by default when the compute backend is a
+    TPU and a CPU backend exists (F2F_ASYNC_FLOW=0 or mode disables it)."""
+    if os.environ.get("F2F_ASYNC_FLOW") == "0" or mode in (False, "off", "tpu"):
+        return False
+    if mode in (True, "cpu"):
+        return True
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        return len(jax.devices("cpu")) > 0
+    except RuntimeError:
+        return False
+
+
 class OnlineDenoiser:
     """Stateful frame-by-frame denoiser: persistent params/optimizer across the
     stream, one fused device program per frame."""
@@ -185,6 +247,7 @@ def run_blind_denoising(
     flow_params=None,
     progress=False,
     flow_batch=8,
+    flow_backend="auto",
 ):
     """Streaming blind denoising over a frame sequence — the full reference CLI
     semantics (blind_denoising.py:125-259) with prefetch double-buffering.
@@ -209,6 +272,7 @@ def run_blind_denoising(
                                  residual_model=residual_model)
 
     tvl1_solver = None
+    async_flow = None
     if compute_flow or flow_tmpl is None:
         from ..flow.tvl1 import (
             DENOISING_PARAMS,
@@ -220,11 +284,16 @@ def run_blind_denoising(
         H, W = probe.shape[:2]
         kw = dict(DENOISING_PARAMS)
         kw.update(flow_params or {})
-        flow_batch = max(1, min(flow_batch, last - first))
-        if flow_batch > 1:
-            tvl1_solver = make_batched_tvl1(W, H, **kw)
+        if _want_async_flow(flow_backend):
+            # CPU background thread: flow overlaps TPU fine-tune entirely
+            async_flow = AsyncFlowSolver(W, H, kw)
+            tvl1_solver = True  # sentinel: flows are computed, not read
         else:
-            tvl1_solver = make_tvl1_solver(W, H, **kw)
+            flow_batch = max(1, min(flow_batch, last - first))
+            if flow_batch > 1:
+                tvl1_solver = make_batched_tvl1(W, H, **kw)
+            else:
+                tvl1_solver = make_tvl1_solver(W, H, **kw)
 
     def load_inputs(i, need_flow=True):
         """Host-side read of frame i (+ flow i if precomputed).
@@ -273,7 +342,10 @@ def run_blind_denoising(
 
     results = {"psnr": [], "loss": [], "frames": []}
     pool = ThreadPoolExecutor(max_workers=2)
-    K = flow_batch if tvl1_solver is not None else 1
+    if async_flow is not None:
+        K = async_flow.lookahead
+    else:
+        K = flow_batch if tvl1_solver is not None else 1
 
     # lookahead frame loading: keep up to K+1 frames in flight so a whole
     # flow window's inputs are on device when the batched solve fires
@@ -286,7 +358,7 @@ def run_blind_denoising(
     def frame_dev(j):
         if j not in frames_dev:
             arr, fl = futures.pop(j).result()
-            frames_dev[j] = (jnp.asarray(arr), fl)
+            frames_dev[j] = (jnp.asarray(arr), fl, arr)
         return frames_dev[j]
 
     flow_cache = {}
@@ -295,6 +367,14 @@ def run_blind_denoising(
         """bflow of frame i (cur -> prev coords, tvl1flow.sh naming)."""
         if tvl1_solver is None:
             return jnp.asarray(frame_dev(i)[1])
+        if async_flow is not None:
+            # keep the CPU worker ``lookahead`` flows ahead; the TPU never
+            # waits once the worker is warm
+            hi = min(i + async_flow.lookahead, last)
+            for j in range(i, hi + 1):
+                ensure(j)
+                async_flow.prefetch(j, frame_dev(j)[2], frame_dev(j - 1)[2])
+            return async_flow.get(i)
         if i not in flow_cache:
             hi = min(i + K - 1, last)
             idx = list(range(i, hi + 1))
@@ -347,6 +427,8 @@ def run_blind_denoising(
         # frames_dev[i]; evicted once consumed as i-1)
 
     pool.shutdown(wait=False)
+    if async_flow is not None:
+        async_flow.close()
     if native_pf is not None:
         native_pf.close()
 

@@ -612,3 +612,36 @@ def test_adapt_nsteps_caps_updates(tiny_model):
     # 4 windows/epoch uncapped -> capped to 1 step x 2 epochs
     assert len(info.loss) == 2
     assert state2.step == 2
+
+
+def test_async_flow_solver_matches_direct():
+    """AsyncFlowSolver (background CPU thread + async device_put) returns
+    bitwise the same flows as the direct solver call — the overlap changes
+    scheduling, never values."""
+    from frame2frame_tpu.flow.tvl1 import DENOISING_PARAMS, make_tvl1_solver
+    from frame2frame_tpu.train.online import AsyncFlowSolver, _want_async_flow
+
+    H = W = 48
+    rng = np.random.default_rng(0)
+    frames = [rng.random((H, W, 1)).astype(np.float32) for _ in range(4)]
+
+    direct = make_tvl1_solver(W, H, **DENOISING_PARAMS)
+    solver = AsyncFlowSolver(W, H, dict(DENOISING_PARAMS), lookahead=2)
+    try:
+        for i in range(1, 4):
+            solver.prefetch(i, frames[i], frames[i - 1])
+        for i in range(1, 4):
+            got = np.asarray(solver.get(i))
+            want = np.asarray(direct(
+                jnp.asarray(frames[i][..., 0] * 255.0),
+                jnp.asarray(frames[i - 1][..., 0] * 255.0)))
+            np.testing.assert_array_equal(got, want)
+    finally:
+        solver.close()
+
+    # mode resolution: explicit cpu forces on, off/tpu force off; auto is
+    # off on the CPU test backend (no TPU to overlap against)
+    assert _want_async_flow("cpu") is True
+    assert _want_async_flow("off") is False
+    assert _want_async_flow("tpu") is False
+    assert _want_async_flow("auto") is False
