@@ -52,7 +52,8 @@ def lit_pairs():
 
 def sim_pairs():
     return {"sim_type": "g", "sim_module": "stardeno",
-            "sim_device": "tpu", "load_fxn": "load_sim"}
+            "sim_device": "tpu", "load_fxn": "load_sim",
+            "sim_channels": 3, "sim_sigma_a": 2.0, "sim_sigma_b": 0.0}
 
 
 def init_cfg(cfg):
@@ -63,22 +64,27 @@ def init_cfg(cfg):
 def get_sim_model(cfg):
     """Learned noise-simulator hook (reference get_sim_model,
     lightning.py:102-109): sim_type "g" means analytic noise (None); a learned
-    simulator module (e.g. the external "stardeno") is loaded by name if
-    importable, else a clear error points at the gap."""
+    simulator module is loaded by name. The external "stardeno" generator is
+    not distributable, so when its import fails (or sim_type is "learned_g")
+    the built-in learned heteroscedastic Gaussian simulator
+    (models/noise_sim.py) takes its place — same ``run_rgb`` surface."""
     from ..config import optional
 
     sim_type = optional(cfg, "sim_type", "g")
     if sim_type == "g":
         return None
+    if sim_type == "learned_g":
+        from ..models.noise_sim import load_sim
+
+        return load_sim(cfg)
     import importlib
 
     try:
         module = importlib.import_module(optional(cfg, "sim_module", sim_type))
-    except ImportError as e:
-        raise ImportError(
-            f"learned noise simulator '{sim_type}' requested but module "
-            f"not available: {e}"
-        ) from e
+    except ImportError:
+        from ..models.noise_sim import load_sim
+
+        return load_sim(cfg)
     return getattr(module, optional(cfg, "load_fxn", "load_sim"))(cfg)
 
 

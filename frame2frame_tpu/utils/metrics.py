@@ -146,6 +146,79 @@ def _steerable_band0(img, level=4, norient=6):
     return np.real(np.fft.ifft2(np.fft.fft2(img) * mask))
 
 
+_SPYR_CACHE = {}
+
+
+def _make_spyr_filters(norient=6, ngrid=64):
+    """Sampled spatial-domain steerable-pyramid filters (lo0 9x9, lofilt
+    17x17, orientation-0 band 9x9), constructed by sampling the published
+    frequency design (raised-cosine log-radial transitions, cos^(K-1)
+    angular windows) and inverse-transforming — the same filter ROLES as
+    matlabPyrTools' sp5Filters bank (whose numeric tables are not
+    redistributable here; see compute_strred notes)."""
+    import math
+
+    if norient in _SPYR_CACHE:
+        return _SPYR_CACHE[norient]
+    f = np.fft.fftfreq(ngrid) * 2 * np.pi
+    fy, fx = f[:, None], f[None, :]
+    r = np.hypot(fy, fx)
+    th = np.arctan2(fy, fx)
+
+    def lowpass(rr):
+        out = np.ones_like(rr)
+        m = (rr > np.pi / 4) & (rr < np.pi / 2)
+        out[m] = np.cos(np.pi / 2 * np.log2(4 * rr[m] / np.pi))
+        out[rr >= np.pi / 2] = 0.0
+        return out
+
+    def highband(rr):
+        out = np.zeros_like(rr)
+        m = (rr > np.pi / 4) & (rr < np.pi / 2)
+        out[m] = np.cos(np.pi / 2 * np.log2(2 * rr[m] / np.pi))
+        out[rr >= np.pi / 2] = 1.0
+        return out
+
+    K = norient
+    alpha = 2 ** (K - 1) * math.factorial(K - 1) / np.sqrt(
+        K * math.factorial(2 * (K - 1)))
+    ang = alpha * np.cos(th) ** (K - 1)  # odd for even K -> imaginary band
+
+    def crop(spatial, size):
+        c = ngrid // 2
+        h = size // 2
+        return spatial[c - h:c + h + 1, c - h:c + h + 1].copy()
+
+    def to_spatial(mask, size, imag=False):
+        resp = 1j * mask if imag else mask
+        sp = np.fft.fftshift(np.real(np.fft.ifft2(resp)))
+        return crop(sp, size)
+
+    lo0 = to_spatial(lowpass(r / 2), 9)
+    lo0 /= lo0.sum()                      # DC gain 1
+    lof = to_spatial(lowpass(r), 17)
+    lof /= lof.sum()
+    band = to_spatial(highband(r) * ang, 9, imag=True)
+    band -= band.mean()                   # zero DC
+    out = (lo0, lof, band)
+    _SPYR_CACHE[norient] = out
+    return out
+
+
+def _spyr_band0(img, level=4, norient=6):
+    """Orientation-0 subband at pyramid ``level`` via the sampled spatial
+    filter bank with reflect boundaries and 2x downsampling per level —
+    the structure of skvideo's SpatialSteerablePyramid.extractSingleBand
+    (band=0, level=4), which backs the reference's compute_strred."""
+    from scipy.ndimage import correlate
+
+    lo0, lof, band = _make_spyr_filters(norient)
+    x = correlate(np.asarray(img, np.float64), lo0, mode="reflect")
+    for _ in range(level - 1):
+        x = correlate(x, lof, mode="reflect")[::2, ::2]
+    return correlate(x, band, mode="reflect")
+
+
 def _est_params_gsm(band, blk=3, sigma_nsq=0.1):
     """GSM block model: returns (s, h) per block — multiplier MLE and local
     entropy Sum_j log2(s * lambda_j + sigma^2) over the block's Gaussian
@@ -169,10 +242,11 @@ def _est_params_gsm(band, blk=3, sigma_nsq=0.1):
     return s, h
 
 
-def _extract_info(frame1, frame2, blk=3, sigma_nsq=0.1):
+def _extract_info(frame1, frame2, blk=3, sigma_nsq=0.1, band_fn=None):
     """Scaled spatial/temporal entropies of one frame (+ its successor)."""
-    y1 = _steerable_band0(frame1)
-    ydiff = _steerable_band0(frame1 - frame2) if frame2 is not None else None
+    band_fn = band_fn or _steerable_band0
+    y1 = band_fn(frame1)
+    ydiff = band_fn(frame1 - frame2) if frame2 is not None else None
     s, h = _est_params_gsm(y1, blk, sigma_nsq)
     spatial = h * np.log2(1.0 + s)
     if ydiff is None:
@@ -182,22 +256,40 @@ def _extract_info(frame1, frame2, blk=3, sigma_nsq=0.1):
     return spatial, temporal
 
 
-def compute_strred(clean, deno, div=255.0):
+def compute_strred(clean, deno, div=255.0, method="spyr"):
     """Per-frame-pair ST-RRED values (lower is better; 0 for identical
     videos). Returns an array of length T-1 (or length 1 for single-frame
     videos, spatial-only). The scalar reported by the reference harness
-    (test.py:245-252) is the mean."""
+    (test.py:245-252) is the mean.
+
+    ``method``:
+    - "spyr" (default): sampled spatial steerable-pyramid band at level 4
+      with per-level 2x downsampling — the structure of
+      skvideo.measure.strred's extractSingleBand path;
+    - "analytic": full-resolution frequency-domain band (round-2
+      implementation, kept for comparison).
+
+    External-oracle note: skvideo's absolute numbers depend on the
+    matlabPyrTools sp5Filters coefficient tables, which are neither
+    installed nor re-derivable in this offline environment; both methods
+    here use filters sampled from the published frequency design instead.
+    The two independent implementations are cross-validated against each
+    other (rank correlation across distortion levels) and pinned in
+    tests/test_harness.py; on an skvideo-equipped host,
+    scripts/validate_strred.py records the skvideo deltas.
+    """
     ref = _to_thwc(clean) / div * 255.0  # published metric operates on [0,255]
     dis = _to_thwc(deno) / div * 255.0
     ref = ref.mean(-1)
     dis = dis.mean(-1)
+    band_fn = _spyr_band0 if method == "spyr" else _steerable_band0
     T = ref.shape[0]
     vals = []
     for t in range(max(T - 1, 1)):
         nxt_r = ref[t + 1] if T > 1 else None
         nxt_d = dis[t + 1] if T > 1 else None
-        sref, tref = _extract_info(ref[t], nxt_r)
-        sdis, tdis = _extract_info(dis[t], nxt_d)
+        sref, tref = _extract_info(ref[t], nxt_r, band_fn=band_fn)
+        sdis, tdis = _extract_info(dis[t], nxt_d, band_fn=band_fn)
         srred = float(np.mean(np.abs(sref - sdis)))
         if T > 1:
             trred = float(np.mean(np.abs(tref - tdis)))
