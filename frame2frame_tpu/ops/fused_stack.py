@@ -124,7 +124,13 @@ class Geom:
 
 
 def default_tile_h(W2):
-    """Smallest tile height with 16-aligned tile rows (8 for even wpad % 4)."""
+    """Smallest tile height with 16-aligned tile rows (8 for even wpad % 4).
+
+    Re-measured round 3 with the odd formulation: tile_h=16 regresses the
+    production forward kernel 0.79 -> 1.13 ms/layer at 540p (despite a
+    stripped-down experiment predicting ~10% gain — the extra slab VMEM at
+    16 costs more than the halved per-tile overhead saves). 8 stays right.
+    """
     for th in (8, 16, 32):
         if (th * (W2 + 2)) % ALIGN == 0:
             return th
