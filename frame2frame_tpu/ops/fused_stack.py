@@ -112,7 +112,7 @@ class Geom:
         slab, n = self.slab, self.n
         odd_extra = 0
         if use_odd():
-            # odd slab of dz (value, materialized) + odd slab of a_prev
+            # odd slab of dz (held value) + odd slab of a_prev
             odd_extra = slab * 128 * 4 + (n + ALIGN) * 128 * 4
         return (3 * 2 * slab * 128 * store_bytes  # g/zi/zp slabs (x2 buffers)
                 + 2 * slab * 128 * 4              # dz slab, f32
@@ -163,6 +163,21 @@ def _col_mask(g):
 
     return (jnp.asarray(ok(0, g.n)[:, None]),
             jnp.asarray(ok(-g.off, g.slab)[:, None]))
+
+
+def _col_mask_pair(g):
+    """(slab, 2) static column masks: column 0 for flat position r, column 1
+    for r+1 — the odd slab's lane half m reads position r+m, so its mask is
+    a per-lane-half select between these two columns. Valid-row boundary
+    discrepancies coincide with pad columns (the last flat position of the
+    image body and the position before the first are both pad pairs), so a
+    (slab, 1) row-validity window is exact for BOTH halves."""
+    def ok(start, length):
+        pos = (np.arange(length) + start) % g.wpad
+        return ((pos != 0) & (pos != g.wpad - 1)).astype(np.float32)
+
+    return jnp.asarray(
+        np.stack([ok(-g.off, g.slab), ok(-g.off + 1, g.slab)], axis=1))
 
 
 def pack_kernel_flat(w):
@@ -308,45 +323,35 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         # validity: global flat position within the real image rows
         pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
         valid = ((pos >= g.valid_lo) & (pos < g.valid_hi)).astype(jnp.float32)
-        if odd:
-            # build the ODD activation slab in ONE pass: roll the bf16 z slab
-            # (lane permute + row shift are cheap on bf16), then apply the
-            # affine+ReLU directly (the BN vectors are parity-duplicated, so
-            # the affine commutes with the lane rotation); the odd validity
-            # mask comes from a 2D iota — lane half 1 reads flat position
-            # r+1 — instead of rolling the mask
-            # (pltpu.roll is 32-bit only, so rotate after the f32 upcast)
-            roll = jnp.roll if _interpret() else pltpu.roll
-            zr0 = roll(zs[:].astype(jnp.float32), 64, axis=1)
-            zr1 = roll(zr0, slab - 1, axis=0)
-            lane = lax.broadcasted_iota(jnp.int32, (slab, 128), 1)
-            zodd = jnp.where(lane < 64, zr0, zr1)
-            pos2 = (lax.broadcasted_iota(jnp.int32, (slab, 128), 0) + start
-                    + (lane >= 64).astype(jnp.int32))
-            col = lax.rem(lax.rem(pos2, g.wpad) + g.wpad, g.wpad)
-            m2 = ((pos2 >= g.valid_lo) & (pos2 < g.valid_hi)
-                  & (col != 0) & (col != g.wpad - 1)).astype(jnp.float32)
-            as_[:] = (jnp.maximum(zodd.astype(jnp.float32) * s + b, 0.0)
-                      * m2)
-        else:
-            as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
-                      * (valid * cmask_slab_ref[:]))
+        as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
+                  * (valid * cmask_slab_ref[:, 0:1]))
 
         # three independent partial accumulators break the serial add chain
-        # between consecutive dots so the MXU pipeline stays full
+        # between consecutive dots so the MXU pipeline stays full.
+        # Odd mode: the one-pixel-shifted slab as a held value sliced by the
+        # 6 dots — measured BEST among the variants tried (direct-to-scratch
+        # odd build 0.82, single-pass build with inline masks 1.09-1.13,
+        # this form 0.79 ms/layer at 540p)
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
-        shifts = g.odd_shifts if odd else g.shifts
-        for t, sh in enumerate(shifts):
-            xs = as_[off + sh:off + sh + n, :]
-            parts[t % 3] += lax.dot_general(
-                xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        if odd:
+            os_ = _odd_slab(as_[:])
+            for t, sh in enumerate(g.odd_shifts):
+                xs = os_[off + sh:off + sh + n, :]
+                parts[t % 3] += lax.dot_general(
+                    xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            for t, sh in enumerate(g.shifts):
+                xs = as_[off + sh:off + sh + n, :]
+                parts[t % 3] += lax.dot_general(
+                    xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         acc = parts[0] + parts[1] + parts[2]
         z_out[:] = acc.astype(z_out.dtype)
         # stats over valid interior positions (pad cols masked; trailing
         # H-pad rows produce acc==0 since their inputs were masked to 0,
         # except boundary leakage rows — mask them too)
-        m = cmask_slab_ref[off:off + n, :] * valid[off:off + n, :]
+        m = cmask_slab_ref[off:off + n, 0:1] * valid[off:off + n, :]
         zc = acc * m
         stats_ref[0, :] += jnp.sum(zc, axis=0)
         stats_ref[1, :] += jnp.sum(zc * acc, axis=0)
@@ -376,7 +381,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
     """
     ntap = 6 if odd else 9
     assert w2_flat.shape[0] == ntap, (w2_flat.shape, odd)
-    _, cmask_slab = _col_mask(g)
+    cmask_pair = _col_mask_pair(g)
     vecs = jnp.stack([s_vec, b_vec]).astype(jnp.float32)
 
     z_flat, stats = pl.pallas_call(
@@ -387,7 +392,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
             pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
+            pl.BlockSpec((g.slab, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -407,7 +412,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_slab)
+    )(zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_pair)
     return z_flat, stats
 
 
@@ -467,6 +472,10 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         # io-transposed taps.
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         if odd:
+            # odd slab of dz as a held value with exactly 6 slice consumers
+            # (dX). Adding the dW dots as 6 more consumers — value or
+            # scratch — measured SLOWER (1.28 / 1.23 vs 1.15 ms/layer), so
+            # dW keeps the oap x even-dz form below.
             odzs = _odd_slab(dzs[:])
             for t, sh in enumerate(g.odd_shifts):
                 ds = odzs[off + sh:off + sh + n, :]
@@ -486,26 +495,21 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         # sum_m a[m+s] dz[m] is re-indexed as sum_m a[m] dz[m-s], which is
         # globally equivalent under the tile accumulation and lets the a
         # scratch drop its halo (dz already has one)
+        zpc = zps[off:off + n + ALIGN, :].astype(jnp.float32)
+        aps[:] = (jnp.maximum(zpc * v[4, :] + v[5, :], 0.0)
+                  * vm[off:off + n + ALIGN, :])
+        ap_int = aps[0:n, :]
         if odd:
-            # dM[t] = sum_r O_ap[r] (x) dz[r - odd_shift_t]: the odd slab of
-            # a_prev needs n+1 interior rows (row r+1 feeds lane half 1), so
-            # build one ALIGN-extended a_prev slab and reuse its interior for
-            # the epilogue below (no separate aps pass)
-            aps[:] = (jnp.maximum(
-                zps[off:off + n + ALIGN, :].astype(jnp.float32) * v[4, :]
-                + v[5, :], 0.0) * vm[off:off + n + ALIGN, :])
+            # dM[t] = sum_r O_ap[r] (x) dz[r - odd_shift_t]: odd slab of
+            # a_prev (one extra interior row feeds lane half 1) against the
+            # even dz SCRATCH slices
             oap = _odd_slab(aps[:])[:n, :]
             for t, sh in enumerate(g.odd_shifts):
                 dsl = dzs[off - sh:off - sh + n, :]
                 dw2_ref[t] += lax.dot_general(
                     oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            ap_int = aps[0:n, :]
         else:
-            aps[:] = (jnp.maximum(
-                zps[off:off + n + ALIGN, :].astype(jnp.float32) * v[4, :]
-                + v[5, :], 0.0) * vm[off:off + n + ALIGN, :])
-            ap_int = aps[0:n, :]
             for t, sh in enumerate(g.shifts):
                 dsl = dzs[off - sh:off - sh + n, :]
                 dw2_ref[t] += lax.dot_general(
@@ -517,7 +521,7 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
             # just produced: sum(gt_prev), sum(gt_prev * zhat_prev)
             m = (cmask_slab_ref[off:off + n, :] * valid[off:off + n, :])
             gp = acc * (ap_int > 0.0).astype(jnp.float32) * m
-            zhp = zps[off:off + n, :].astype(jnp.float32) * v[6, :] + v[7, :]
+            zhp = zpc[:n, :] * v[6, :] + v[7, :]
             stats_ref[0, :] += jnp.sum(gp, axis=0)
             stats_ref[1, :] += jnp.sum(gp * zhp, axis=0)
 
