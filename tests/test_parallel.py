@@ -289,3 +289,61 @@ def test_sharded_window_step_validates_shard_size():
     with pytest.raises(ValueError, match="at least 2\\*wt"):
         step(variables["params"], variables.get("batch_stats", {}), opt_state,
              vid, vid, flows, flows)
+
+
+# ------------------------------------------------------- spatial sharding --
+
+
+def test_spatial_online_step_matches_single_device():
+    """The H-sharded online step (parallel/spatial.py, XLA SPMD halos) must
+    reproduce the unsharded step: same losses, same denoised frame, same
+    updated params — BN statistics and loss sums stay global under the
+    partitioner, unlike host-side spatial chunking."""
+    from frame2frame_tpu.parallel.spatial import (
+        make_space_mesh,
+        make_spatial_online_step,
+    )
+    from frame2frame_tpu.train.online import make_online_step
+
+    model, variables = init_dncnn(jax.random.PRNGKey(1), channels=1,
+                                  num_layers=4, residual=True,
+                                  spatial=(32, 16), conv_impl="xla")
+    tx = torch_adam(5e-5, 1e-5)
+    rng = np.random.default_rng(2)
+    H, W = 32, 16  # H divides the 8-way space axis
+    cur = jnp.asarray(rng.random((H, W, 1)), jnp.float32)
+    prev = jnp.asarray(rng.random((H, W, 1)), jnp.float32)
+    flow = jnp.asarray(rng.normal(0, 0.4, (H, W, 2)), jnp.float32)
+
+    params, bs = variables["params"], variables["batch_stats"]
+    opt = tx.init(params)
+
+    base = make_online_step(model, tx, iters=3, residual_model=False,
+                            unroll=True)
+    p1, bs1, _, deno1, losses1 = base(params, bs, opt, cur, prev, flow)
+
+    mesh = make_space_mesh(8)
+    step = make_spatial_online_step(model, tx, mesh, iters=3,
+                                    residual_model=False)
+    p2, bs2, _, deno2, losses2 = step(params, bs, opt, cur, prev, flow)
+
+    np.testing.assert_allclose(np.asarray(losses2), np.asarray(losses1),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(deno2), np.asarray(deno1),
+                               atol=2e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+    # the frame really was partitioned along H
+    assert not deno2.sharding.is_fully_replicated
+
+
+def test_spatial_step_rejects_fused():
+    from frame2frame_tpu.parallel.spatial import (
+        make_space_mesh,
+        make_spatial_online_step,
+    )
+
+    model, _ = init_dncnn(jax.random.PRNGKey(0), channels=1, num_layers=4,
+                          conv_impl="fused", spatial=(16, 16))
+    with pytest.raises(ValueError):
+        make_spatial_online_step(model, torch_adam(1e-4), make_space_mesh(8))
