@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..config import Config, extract_pairs, optional
 from ..data.noise import choose_noise_transform
@@ -108,6 +109,10 @@ class TrainModule:
         self.set_flow_epoch()
         self.crit = self.init_crit()
         self.dd_in = c.dd_in
+        # single-entry jit cache for the offline step: schedules are monotone
+        # in (epoch, step), so old keys never recur
+        self._jit_key = None
+        self._jit_fn = None
 
     def set_flow_epoch(self):
         """``flow_from_end=N`` means the last N epochs run with optical flow
@@ -238,9 +243,69 @@ class TrainModule:
 
     # -- training step --
 
+    def _jit_step_key(self, epoch, step):
+        """Cache key of the compile-time values the loss derives from
+        (epoch, step); None means the config needs per-step recompilation
+        (a smoothly decaying per-step knob) so the eager path must run.
+
+        Everything (epoch, step)-derived inside the traced region is frozen
+        at its concrete value, so any quantity a criterion computes from them
+        MUST appear here — the step recompiles exactly when a resolved value
+        changes (rare: the schedules quantize through int(round(.)))."""
+        c = self.cfg
+        name = c.crit_name
+        key = [name]
+        if name == "stnls":
+            if c.search_input == "interp":
+                return None  # alpha = alpha_scale**step decays every step
+            key += [self.crit.get_k(step), self.crit.get_ws(step),
+                    self.crit.get_ps(step), self.crit.get_ps_dists(step)]
+        elif name in ("nb2nb", "b2u", "stnls_nb2nb", "nb2nb_stnls"):
+            # these use epoch (smoothly or through schedules); one compile
+            # per epoch, amortized over the epoch's steps
+            key.append(int(epoch))
+        elif name == "warped" and self.crit.loss_type == "stnls":
+            key.append(self.crit.get_ps(step))
+        return tuple(key)
+
+    def _build_jit_step(self, state: TrainState, epoch, step_c):
+        """Jit-compiled optimizer step with (epoch, step) captured concrete —
+        valid while _jit_step_key(epoch, step) is unchanged."""
+        apply_top, tx = state.apply_fn, state.tx
+        residual = state.residual
+
+        @jax.jit
+        def step_fn(params, batch_stats, opt_state, noisy, clean,
+                    fflow, bflow, key):
+            st = TrainState(apply_fn=apply_top, params=params,
+                            batch_stats=batch_stats, tx=tx,
+                            opt_state=opt_state, residual=residual,
+                            step=step_c)
+            flows = Config(fflow=fflow, bflow=bflow)
+
+            def loss_fn(p):
+                captured = {}
+                apply_fn = make_train_apply(st, p, captured)
+                deno, loss = self.compute_loss(apply_fn, clean, noisy, flows,
+                                               epoch, step_c, key)
+                return loss, (jax.lax.stop_gradient(deno),
+                              captured.get("batch_stats", batch_stats))
+
+            (loss, (deno, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, new_bs, loss, deno
+
+        return step_fn
+
     def training_step(self, state: TrainState, batch, epoch, key):
         """One optimizer step. batch: Config(noisy, clean[, fflow, bflow,
-        sigma]) with videos (B, T, H, W, C) in [0, 255]."""
+        sigma]) with videos (B, T, H, W, C) in [0, 255].
+
+        The grad+update region runs under jax.jit (one XLA program per frame
+        geometry — the reference's eager Lightning step dispatches op-by-op);
+        flow solving, noise simulation and host metrics stay outside."""
         c = self.cfg
         batch = self.sample_noisy(batch, key)
         noisy = jnp.asarray(batch["noisy"], jnp.float32) / 255.0
@@ -256,17 +321,29 @@ class TrainModule:
                                        self.use_flow(epoch),
                                        ftype=c.flow_method)
 
-        def loss_fn(params):
-            captured = {}
-            apply_fn = make_train_apply(state, params, captured)
-            deno, loss = self.compute_loss(apply_fn, clean, noisy, flows,
-                                           epoch, state.step, key)
-            return loss, (jax.lax.stop_gradient(deno),
-                          captured.get("batch_stats", state.batch_stats))
+        jkey = self._jit_step_key(epoch, int(state.step))
+        if jkey is not None:
+            if jkey != self._jit_key:
+                self._jit_fn = self._build_jit_step(state, epoch,
+                                                    int(state.step))
+                self._jit_key = jkey
+            params, opt_state, new_bs, loss, deno = self._jit_fn(
+                state.params, state.batch_stats, state.opt_state,
+                noisy, clean, flows.fflow, flows.bflow, key)
+            state = state.replace(params=params, opt_state=opt_state,
+                                  batch_stats=new_bs, step=state.step + 1)
+        else:
+            def loss_fn(params):
+                captured = {}
+                apply_fn = make_train_apply(state, params, captured)
+                deno, loss = self.compute_loss(apply_fn, clean, noisy, flows,
+                                               epoch, state.step, key)
+                return loss, (jax.lax.stop_gradient(deno),
+                              captured.get("batch_stats", state.batch_stats))
 
-        (loss, (deno, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        state = apply_gradients(state, grads, new_bs)
+            (loss, (deno, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = apply_gradients(state, grads, new_bs)
 
         psnr = float(jnp.mean(jnp.asarray(
             compute_psnrs(jax.device_get(deno), jax.device_get(clean), div=1.0))))

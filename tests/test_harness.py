@@ -698,3 +698,48 @@ def test_learned_noise_sim_exercises_sample_noisy(tiny_model):
     state2, metrics = module.training_step(state, batch, epoch=0,
                                            key=jax.random.PRNGKey(2))
     assert np.isfinite(metrics.train_loss)
+
+
+def test_jitted_step_matches_eager(tiny_model):
+    """The jitted offline step (TrainModule._build_jit_step) must reproduce
+    the eager fallback path bit-for-bit given the same inputs, and must reuse
+    the compiled program while the schedule-resolved key is unchanged."""
+    from frame2frame_tpu.train.lit import TrainModule
+    from frame2frame_tpu.train.schedules import make_optimizer
+    from frame2frame_tpu.train.state import TrainState
+
+    model, variables = tiny_model
+    cfg = Config(crit_name="warped", nepochs=2, lr_init=1e-3, ntype="g",
+                 sigma=25, flow=False, wt=1, rate=-1)
+    rng = np.random.default_rng(3)
+    clean = rng.random((1, 3, 16, 16, 1)).astype(np.float32) * 255
+    batch = Config(noisy=(clean + rng.normal(0, 25, clean.shape)).astype(
+        np.float32), clean=clean)
+    key = jax.random.PRNGKey(7)
+
+    # jitted path (default)
+    module = TrainModule(cfg, model, residual=True)
+    tx, _ = make_optimizer(module.cfg)
+    state = TrainState.create(model, variables, tx, residual=True)
+    assert module._jit_step_key(0, 0) is not None
+    state_j, m_j = module.training_step(state, batch, epoch=0, key=key)
+    fn0 = module._jit_fn
+    state_j2, _ = module.training_step(state_j, batch, epoch=0, key=key)
+    assert module._jit_fn is fn0  # same resolved key -> program reused
+
+    # eager path (force by clearing support), fresh module + state
+    module_e = TrainModule(cfg, model, residual=True)
+    module_e._jit_step_key = lambda *_: None
+    state_e = TrainState.create(model, variables, tx, residual=True)
+    state_e, m_e = module_e.training_step(state_e, batch, epoch=0, key=key)
+
+    np.testing.assert_allclose(m_j.train_loss, m_e.train_loss, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_j.params),
+                    jax.tree.leaves(state_e.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # the step-smooth stnls config must refuse to jit
+    cfg_i = Config(crit_name="stnls", nepochs=2, search_input="interp",
+                   ntype="g", sigma=25, flow=False)
+    module_i = TrainModule(cfg_i, model, residual=True)
+    assert module_i._jit_step_key(0, 0) is None
