@@ -26,14 +26,22 @@ _KERNEL = (_KERNEL / _KERNEL.sum()).astype(np.float32)
 
 
 @lru_cache(maxsize=16)
-def _fixed_masks(h, w, width=4):
-    """(width^2, h, w) float32: mask i selects grid position i of each
-    width x width cell (the 'fix_i' masks of b2u_loss.py:201-219)."""
+def _fixed_masks_np(h, w, width=4):
     masks = np.zeros((width * width, h, w), np.float32)
     for i in range(width * width):
         dy, dx = divmod(i, width)
         masks[i, dy::width, dx::width] = 1.0
-    return jnp.asarray(masks)
+    return masks
+
+
+def _fixed_masks(h, w, width=4):
+    """(width^2, h, w) float32: mask i selects grid position i of each
+    width x width cell (the 'fix_i' masks of b2u_loss.py:201-219).
+
+    The cache holds host arrays, NOT jax arrays: jnp constants created while
+    tracing are tracers in recent JAX, and a cached tracer leaks into later
+    traces (callers run under jax.jit, e.g. train/lit.py's jitted step)."""
+    return jnp.asarray(_fixed_masks_np(h, w, width))
 
 
 def interpolate_mask(img, mask):

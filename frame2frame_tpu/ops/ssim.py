@@ -14,11 +14,16 @@ import numpy as np
 
 
 @lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_window_np(window_size: int, sigma: float):
     x = np.arange(window_size, dtype=np.float64) - window_size // 2
     g = np.exp(-(x**2) / (2 * sigma**2))
-    g = g / g.sum()
-    return jnp.asarray(g, jnp.float32)
+    return (g / g.sum()).astype(np.float32)
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    # cache holds host arrays: a jnp constant created while tracing is a
+    # tracer, and caching it leaks into later traces (see losses/b2u.py)
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def _filter(img, win):
