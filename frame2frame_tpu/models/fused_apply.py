@@ -147,3 +147,94 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
     noise2 = end_conv(a_out, params["conv_out"]["kernel"])
     noise = unpack_image(noise2).astype(jnp.float32)
     return x - noise if model.residual else noise
+
+
+# ---------------------------------------------------------------------------
+# spatially sharded variants (ops/fused_spatial.py): single large frames
+# H-split across a ``space`` mesh axis; the boundary C<->64 convs stay XLA
+# ops so the SPMD partitioner shards them (with automatic halos), while the
+# mid-stack runs the shard_map'd fused engine
+
+
+def _spatial_pad(model, x, mesh):
+    from ..ops.fused_spatial import pad_h
+
+    B, H, W, C = x.shape
+    th = default_tile_h(W // 2)
+    Hp = pad_h(H, mesh.shape["space"], th)
+    return jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0))), th
+
+
+def fused_train_apply_spatial(model, params, batch_stats, x, mesh,
+                              store_dtype=jnp.bfloat16):
+    """``fused_train_apply`` with the mid-stack H-sharded over ``mesh``'s
+    ``space`` axis — exact single-chip semantics (sync-BN statistics)."""
+    from ..ops.fused_spatial import fused_mid_stack_spatial
+
+    B, H, W, C = x.shape
+    nmid = model.num_layers - 2
+    end_conv = _make_end_conv(store_dtype)
+    xp, tile_h = _spatial_pad(model, x, mesh)
+    x2 = pack_image(xp)
+
+    a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
+    # zero the pad rows: the primal is unaffected (the mid-stack's validity
+    # window already excludes them), but the multiply also zeroes the
+    # COTANGENT there, keeping boundary-leakage garbage in the sharded
+    # backward out of conv_in's weight gradient
+    row_ok = (jnp.arange(xp.shape[1]) < H)[None, :, None, None]
+    a1 = jnp.where(row_ok, a1, jnp.zeros((), a1.dtype))
+
+    ws = jnp.stack([params[f"conv_{i}"]["kernel"] for i in range(nmid)])
+    gammas = jnp.stack([params[f"bn_{i}"]["scale"] for i in range(nmid)])
+    betas = jnp.stack([params[f"bn_{i}"]["bias"] for i in range(nmid)])
+
+    a_out, means, vars_ = fused_mid_stack_spatial(
+        ws, gammas, betas, a1, H, tile_h, store_dtype, mesh)
+    a_out = a_out[:, :H]
+
+    noise2 = end_conv(a_out, params["conv_out"]["kernel"])
+    noise = unpack_image(noise2).astype(jnp.float32)
+
+    new_bs = {k: v for k, v in batch_stats.items()}
+    for i in range(nmid):
+        old = batch_stats[f"bn_{i}"]
+        m = jax.lax.stop_gradient(means[i])
+        v = jax.lax.stop_gradient(vars_[i])
+        new_bs[f"bn_{i}"] = {
+            "mean": BN_MOMENTUM * old["mean"] + (1 - BN_MOMENTUM) * m,
+            "var": BN_MOMENTUM * old["var"] + (1 - BN_MOMENTUM) * v,
+        }
+
+    out = x - noise if model.residual else noise
+    return out, new_bs
+
+
+def fused_eval_apply_spatial(model, params, batch_stats, x, mesh,
+                             store_dtype=jnp.bfloat16):
+    """``fused_eval_apply`` H-sharded over ``mesh``'s ``space`` axis."""
+    from ..ops.fused_spatial import eval_mid_stack_spatial
+    from ..ops.fused_stack import _affine_from_stats, tile_vec
+
+    B, H, W, C = x.shape
+    nmid = model.num_layers - 2
+    end_conv = _make_end_conv(store_dtype)
+    xp, tile_h = _spatial_pad(model, x, mesh)
+    x2 = pack_image(xp)
+    a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
+
+    ws = jnp.stack([params[f"conv_{i}"]["kernel"] for i in range(nmid)])
+    svecs = [jnp.ones((128,), jnp.float32)]
+    bvecs = [jnp.zeros((128,), jnp.float32)]
+    for i in range(nmid):
+        s64, b64, _ = _affine_from_stats(
+            batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
+            params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
+        svecs.append(tile_vec(s64))
+        bvecs.append(tile_vec(b64))
+
+    a_out = eval_mid_stack_spatial(ws, jnp.stack(svecs), jnp.stack(bvecs),
+                                   a1, H, tile_h, store_dtype, mesh)[:, :H]
+    noise2 = end_conv(a_out, params["conv_out"]["kernel"])
+    noise = unpack_image(noise2).astype(jnp.float32)
+    return x - noise if model.residual else noise

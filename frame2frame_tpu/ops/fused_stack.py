@@ -298,7 +298,16 @@ def _slab_dma(hbm, slabs, sems, j, slot, g):
 
 
 def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
-                z_out, stats_ref, zslab, aslab, sem, *, g, odd):
+                *rest, g, odd, dyn_valid=False):
+    if dyn_valid:
+        # spatial sharding (ops/fused_spatial.py): the row-validity window is
+        # shard-dependent, so it arrives as SMEM scalars instead of being
+        # baked in — one compiled program serves every shard (SPMD)
+        vb_ref, z_out, stats_ref, zslab, aslab, sem = rest
+        valid_lo, valid_hi = vb_ref[0], vb_ref[1]
+    else:
+        z_out, stats_ref, zslab, aslab, sem = rest
+        valid_lo, valid_hi = g.valid_lo, g.valid_hi
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
 
@@ -322,7 +331,7 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         b = vecs_ref[1, :]   # prev-layer BN shift
         # validity: global flat position within the real image rows
         pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
-        valid = ((pos >= g.valid_lo) & (pos < g.valid_hi)).astype(jnp.float32)
+        valid = ((pos >= valid_lo) & (pos < valid_hi)).astype(jnp.float32)
         as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
                   * (valid * cmask_slab_ref[:, 0:1]))
 
@@ -367,7 +376,8 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
             compute(slot)
 
 
-def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
+def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
+              valid_bounds=None):
     """One fused mid-layer forward pass over the flat layout.
 
     zprev_flat: ((T+2)*n, 128) bf16 — previous layer's raw conv output (or
@@ -375,7 +385,10 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
     w2_flat: (9, 128, 128) bf16 packed kernel (pack_kernel_flat), or
     (6, 128, 128) merged-tap matrices (pack_kernel_odd) when ``odd``;
     s_vec/b_vec: (128,) f32 BN affine of the PREVIOUS layer
-    (z -> a = relu(s*z + b)).
+    (z -> a = relu(s*z + b));
+    valid_bounds: optional (2,) int32 [lo, hi) row-validity window in local
+    flat positions, replacing the static [g.n, g.n + H*wpad) — used by the
+    spatially sharded pipeline where halo tiles hold real neighbor rows.
 
     Returns (z_flat bf16, stats (2, 128) f32 = (sum z, sum z^2) per lane).
     """
@@ -383,18 +396,25 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
     assert w2_flat.shape[0] == ntap, (w2_flat.shape, odd)
     cmask_pair = _col_mask_pair(g)
     vecs = jnp.stack([s_vec, b_vec]).astype(jnp.float32)
+    dyn = valid_bounds is not None
 
-    z_flat, stats = pl.pallas_call(
-        partial(_fwd_kernel, g=g, odd=odd),
-        grid=(g.T + 2,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g.slab, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    ins = [zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_pair]
+    if dyn:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ins.append(jnp.asarray(valid_bounds, jnp.int32))
+
+    z_flat, stats = pl.pallas_call(
+        partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn),
+        grid=(g.T + 2,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((g.n, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -412,7 +432,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_pair)
+    )(*ins)
     return z_flat, stats
 
 
@@ -421,8 +441,15 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False):
 
 
 def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
-                da_out, dw2_ref, stats_ref, gslab, zislab, zpslab, dzslab,
-                apslab, sem_g, sem_zi, sem_zp, *, g, first_layer, odd):
+                *rest, g, first_layer, odd, dyn_valid=False):
+    if dyn_valid:
+        (vb_ref, da_out, dw2_ref, stats_ref, gslab, zislab, zpslab, dzslab,
+         apslab, sem_g, sem_zi, sem_zp) = rest
+        valid_lo, valid_hi = vb_ref[0], vb_ref[1]
+    else:
+        (da_out, dw2_ref, stats_ref, gslab, zislab, zpslab, dzslab,
+         apslab, sem_g, sem_zi, sem_zp) = rest
+        valid_lo, valid_hi = g.valid_lo, g.valid_hi
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
 
@@ -457,7 +484,7 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         # 4 s_prev, 5 b_prev, 6 rstd_prev, 7 -mean_prev*rstd_prev
         v = vecs_ref
         pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
-        valid = ((pos >= g.valid_lo) & (pos < g.valid_hi)).astype(jnp.float32)
+        valid = ((pos >= valid_lo) & (pos < valid_hi)).astype(jnp.float32)
         vm = valid * cmask_slab_ref[:]
 
         zi = zis[:].astype(jnp.float32)
@@ -539,7 +566,7 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
 
 
 def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
-              first_layer=False, odd=False):
+              first_layer=False, odd=False, valid_bounds=None):
     """One fused mid-layer backward pass.
 
     g_flat: cotangent of a_i (this layer's post-ReLU output) in flat layout;
@@ -548,7 +575,9 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
     tap-flipped: the even kernel slices with -shift, which is the flip), or
     (6, 128, 128) flip+transpose merged taps (pack_kernel_odd_bwd) when
     ``odd``;
-    vecs: (8, 128) f32 prefolded per-channel vectors (see kernel comment).
+    vecs: (8, 128) f32 prefolded per-channel vectors (see kernel comment);
+    valid_bounds: optional (2,) int32 dynamic row-validity window (see
+    ``fwd_layer``).
 
     Returns (da_prev_flat bf16, dw (ntap,128,128) f32 — fold with fold_dw2
     or fold_dw6 per mode — and stats_prev (2,128) f32).
@@ -556,11 +585,9 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
     ntap = 6 if odd else 9
     assert w2t_flat.shape[0] == ntap, (w2t_flat.shape, odd)
     _, cmask_slab = _col_mask(g)
+    dyn = valid_bounds is not None
 
-    da, dw2, stats = pl.pallas_call(
-        partial(_bwd_kernel, g=g, first_layer=first_layer, odd=odd),
-        grid=(g.T + 2,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -570,7 +597,18 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    ins = [g_flat, zi_flat, zprev_flat, w2t_flat.astype(g_flat.dtype), vecs,
+           cmask_slab]
+    if dyn:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ins.append(jnp.asarray(valid_bounds, jnp.int32))
+
+    da, dw2, stats = pl.pallas_call(
+        partial(_bwd_kernel, g=g, first_layer=first_layer, odd=odd,
+                dyn_valid=dyn),
+        grid=(g.T + 2,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((g.n, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -596,8 +634,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(g_flat, zi_flat, zprev_flat, w2t_flat.astype(g_flat.dtype), vecs,
-      cmask_slab)
+    )(*ins)
     return da, dw2, stats
 
 

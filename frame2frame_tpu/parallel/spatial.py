@@ -7,12 +7,17 @@ Adam — runs under ``jax.jit`` with input shardings, letting **XLA's SPMD
 partitioner** insert the halo exchanges for the 3x3 convolutions and the
 global reductions for BatchNorm statistics and the loss automatically.
 
-Contrast with the manual ``shard_map`` + ``ppermute`` design of the time
-axis: here the partitioner owns communication, so the computation is
-numerically identical to the unsharded program (BN stats and loss sums are
-global), and any model built from partitionable XLA ops shards without
-kernel changes. The fused Pallas engine is a single-chip execution detail
-and is bypassed (conv_impl="packed") — custom kernels are opaque to SPMD.
+Two engines serve this axis:
+
+- **XLA path** (conv_impl="packed"/...): the partitioner owns all
+  communication — numerically identical to the unsharded program (BN stats
+  and loss sums are global), any partitionable model shards without kernel
+  changes.
+- **Fused Pallas path** (conv_impl="fused"): custom kernels are opaque to
+  SPMD, so the production engine gets its communication written by hand in
+  ``ops/fused_spatial.py`` — shard_map with per-layer ``ppermute`` halo
+  tiles and ``psum``'d BN statistics/gradients, exact single-chip
+  semantics on the 2x-faster engine.
 
 The reference has no model/spatial parallelism at all (SURVEY.md §2.4);
 its closest analogue is host-side overlap-tiled spatial chunking
@@ -50,16 +55,19 @@ def make_spatial_online_step(model, tx, mesh, iters=20, residual_model=False):
     the same signature/semantics as ``train.online.make_online_step`` —
     frame operands are placed with ``frame_sharding(mesh)``, everything else
     replicated; jit propagates the shardings through the 20-iteration scan.
+
+    Engine selection follows ``model.conv_impl``: ``"fused"`` runs the
+    shard_map'd fused Pallas pipeline (ops/fused_spatial.py — manual
+    ppermute halos + psum'd sync-BN statistics); any XLA conv path is
+    H-split by the SPMD partitioner, which inserts the halos itself.
     """
     from ..train.online import make_online_step
 
-    if getattr(model, "conv_impl", None) == "fused":
-        raise ValueError(
-            "spatial sharding requires an XLA-partitionable conv path; "
-            "build the model with conv_impl='packed' (the fused Pallas "
-            "engine is single-chip)")
+    spatial_mesh = mesh if getattr(model, "conv_impl", None) == "fused" \
+        else None
     base = make_online_step(model, tx, iters=iters,
-                            residual_model=residual_model, unroll=False)
+                            residual_model=residual_model, unroll=False,
+                            spatial_mesh=spatial_mesh)
     fsh = frame_sharding(mesh)
     rep = NamedSharding(mesh, P())
 

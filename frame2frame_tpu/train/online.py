@@ -42,7 +42,8 @@ def torch_adam(lr, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-8):
     return optax.chain(*parts)
 
 
-def make_online_step(model, tx, iters=20, residual_model=False, unroll=None):
+def make_online_step(model, tx, iters=20, residual_model=False, unroll=None,
+                     spatial_mesh=None):
     """Build the jitted per-frame program.
 
     step(params, batch_stats, opt_state, cur, prev, flow) ->
@@ -57,6 +58,10 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None):
     CPU (XLA:CPU runs convolutions inside While bodies single-threaded, ~40x
     slower than the unrolled form), keep the rolled scan on TPU (fast While,
     much smaller compile).
+
+    ``spatial_mesh``: a Mesh with a ``space`` axis — the frame is H-split
+    across it and the fused engine runs its shard_map'd variant
+    (ops/fused_spatial.py); see parallel/spatial.make_spatial_online_step.
     """
     if unroll is None:
         unroll = jax.default_backend() == "cpu"
@@ -64,26 +69,52 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None):
     def _use_fused(x):
         # the fused Pallas pipeline (ops/fused_stack.py) carries the
         # training-mode fine-tune on TPU; CPU keeps the XLA graph (interpret
-        # mode would be slower, and the parity tests pin the XLA path)
+        # mode would be slower, and the parity tests pin the XLA path).
+        # F2F_FUSED=force selects it regardless of backend (interpret-mode
+        # tests of the sharded engine).
         if getattr(model, "conv_impl", None) != "fused":
             return False
-        if jax.default_backend() != "tpu" or os.environ.get("F2F_FUSED") == "0":
+        force = os.environ.get("F2F_FUSED") == "force"
+        if not force and (jax.default_backend() != "tpu"
+                          or os.environ.get("F2F_FUSED") == "0"):
             return False
         from ..models.fused_apply import can_fuse
 
-        return can_fuse(model, (1,) + x.shape)
+        shape = (1,) + x.shape
+        if spatial_mesh is not None:
+            # VMEM feasibility is per-shard: check the local tile geometry
+            from ..models.fused_apply import default_tile_h
+            from ..ops.fused_spatial import pad_h
+
+            H, W = x.shape[0], x.shape[1]
+            D = spatial_mesh.shape["space"]
+            Hp = pad_h(H, D, default_tile_h(W // 2))
+            shape = (1, Hp // D) + x.shape[1:]
+        return can_fuse(model, shape)
 
     def denoise(variables, x, train):
         if _use_fused(x):
-            from ..models.fused_apply import fused_eval_apply, fused_train_apply
+            from ..models.fused_apply import (
+                fused_eval_apply, fused_eval_apply_spatial,
+                fused_train_apply, fused_train_apply_spatial)
 
             if train:
-                y, new_bs = fused_train_apply(
-                    model, variables["params"], variables["batch_stats"],
-                    x[None])
+                if spatial_mesh is not None:
+                    y, new_bs = fused_train_apply_spatial(
+                        model, variables["params"], variables["batch_stats"],
+                        x[None], spatial_mesh)
+                else:
+                    y, new_bs = fused_train_apply(
+                        model, variables["params"], variables["batch_stats"],
+                        x[None])
                 return (y[0] if residual_model else x - y[0]), new_bs
-            y = fused_eval_apply(model, variables["params"],
-                                 variables["batch_stats"], x[None])
+            if spatial_mesh is not None:
+                y = fused_eval_apply_spatial(
+                    model, variables["params"], variables["batch_stats"],
+                    x[None], spatial_mesh)
+            else:
+                y = fused_eval_apply(model, variables["params"],
+                                     variables["batch_stats"], x[None])
             return y[0] if residual_model else x - y[0]
         out = model.apply(variables, x[None], train=train,
                           mutable=["batch_stats"] if train else False)

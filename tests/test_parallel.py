@@ -337,13 +337,101 @@ def test_spatial_online_step_matches_single_device():
     assert not deno2.sharding.is_fully_replicated
 
 
-def test_spatial_step_rejects_fused():
+def test_spatial_online_step_fused_engine(monkeypatch):
+    """The H-sharded online step on the FUSED Pallas engine
+    (ops/fused_spatial.py: shard_map + per-layer ppermute halo tiles +
+    psum'd sync-BN) must reproduce the single-chip fused step — same
+    losses, denoised frame, params and batch statistics. Runs the kernels
+    in interpret mode on the 8-device CPU mesh (F2F_FUSED=force)."""
     from frame2frame_tpu.parallel.spatial import (
         make_space_mesh,
         make_spatial_online_step,
     )
+    from frame2frame_tpu.train.online import make_online_step
 
-    model, _ = init_dncnn(jax.random.PRNGKey(0), channels=1, num_layers=4,
-                          conv_impl="fused", spatial=(16, 16))
-    with pytest.raises(ValueError):
-        make_spatial_online_step(model, torch_adam(1e-4), make_space_mesh(8))
+    monkeypatch.setenv("F2F_FUSED", "force")
+    model, variables = init_dncnn(jax.random.PRNGKey(1), channels=1,
+                                  num_layers=4, residual=True,
+                                  spatial=(32, 32), conv_impl="fused")
+    tx = torch_adam(5e-5, 1e-5)
+    rng = np.random.default_rng(2)
+    H, W = 32, 32  # pads to 8 rows x 4 shards of tile_h=8 tiles
+    cur = jnp.asarray(rng.random((H, W, 1)), jnp.float32)
+    prev = jnp.asarray(rng.random((H, W, 1)), jnp.float32)
+    flow = jnp.asarray(rng.normal(0, 0.4, (H, W, 2)), jnp.float32)
+    params, bs = variables["params"], variables["batch_stats"]
+    opt = tx.init(params)
+
+    base = make_online_step(model, tx, iters=2, residual_model=False,
+                            unroll=True)
+    p1, bs1, _, deno1, losses1 = base(params, bs, opt, cur, prev, flow)
+
+    mesh = make_space_mesh(4)
+    step = make_spatial_online_step(model, tx, mesh, iters=2,
+                                    residual_model=False)
+    p2, bs2, _, deno2, losses2 = step(params, bs, opt, cur, prev, flow)
+
+    np.testing.assert_allclose(np.asarray(losses2), np.asarray(losses1),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(deno2), np.asarray(deno1),
+                               atol=2e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(bs1), jax.tree.leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+    assert not deno2.sharding.is_fully_replicated
+
+
+def test_fused_mid_stack_spatial_matches_single_chip():
+    """fused_mid_stack_spatial == fused_mid_stack in f32 mode: forward
+    values, BN statistics and every gradient group, across shard counts
+    (incl. D=1, where ppermute degenerates to the boundary zero tiles) and
+    a non-divisible H that exercises pad_h + validity windows."""
+    from jax.sharding import Mesh
+
+    from frame2frame_tpu.ops.fused_spatial import (
+        fused_mid_stack_spatial,
+        pad_h,
+    )
+    from frame2frame_tpu.ops.fused_stack import fused_mid_stack
+
+    rng = np.random.default_rng(0)
+    L, H, W2, th = 3, 28, 16, 8  # H=28: pads to 32 across 2 shards
+    ws = jnp.asarray(rng.normal(0, 0.1, (L, 3, 3, 64, 64)), jnp.float32)
+    gammas = jnp.asarray(rng.random((L, 64)) + 0.5, jnp.float32)
+    betas = jnp.asarray(rng.normal(0, 0.1, (L, 64)), jnp.float32)
+    a1 = jnp.asarray(np.maximum(rng.normal(0, 1, (1, H, W2, 128)), 0),
+                     jnp.float32)
+
+    def loss_ref(ws, gammas, betas, a1):
+        a, m, v = fused_mid_stack(ws, gammas, betas, a1, H, th, jnp.float32)
+        return jnp.sum(a * a) + jnp.sum(m * v), (a, m, v)
+
+    (ref, (a_r, m_r, v_r)), g_r = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2, 3), has_aux=True)(ws, gammas, betas, a1)
+
+    for D in (1, 2):
+        mesh = Mesh(np.array(jax.devices()[:D]), ("space",))
+        Hp = pad_h(H, D, th)
+        a1p = jnp.pad(a1, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+
+        def loss_sp(ws, gammas, betas, a1p):
+            a, m, v = fused_mid_stack_spatial(ws, gammas, betas, a1p, H, th,
+                                              jnp.float32, mesh)
+            return jnp.sum(a[:, :H] ** 2) + jnp.sum(m * v), (a[:, :H], m, v)
+
+        (val, (a_s, m_s, v_s)), g_s = jax.jit(jax.value_and_grad(
+            loss_sp, argnums=(0, 1, 2, 3), has_aux=True))(ws, gammas, betas,
+                                                          a1p)
+        np.testing.assert_allclose(float(val), float(ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_r),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_r),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_r),
+                                   atol=1e-5)
+        for got, want in zip(g_s[:3], g_r[:3]):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=5e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_s[3][:, :H]),
+                                   np.asarray(g_r[3]), atol=1e-4)
