@@ -72,20 +72,28 @@ def pad_h(H, n_shards, tile_h):
 
 
 def _exchange(flat, g, n_shards):
-    """Fill the head/tail tiles with the neighbors' boundary body tiles.
+    """Fill the halo regions of the head/tail tiles with the neighbors'
+    boundary body rows.
 
-    flat: ((T+2)*n, 128) local layout, body rows at [n, n + T*n). Shard 0's
-    head and the last shard's tail stay zero (ppermute default) — the true
-    image boundary's zero-pad tile.
+    flat: ((T+2)*n, 128) local layout, body rows at [n, n + T*n). The
+    kernels' slab DMAs only reach ``off`` rows past the body ([n - off, n)
+    of the head tile and [n + R, n + R + off) of the tail), so exactly those
+    rows ride the ppermute — ~off/n of a full tile (at 540p, 496 of 3856
+    rows per direction per layer). Shard 0's head and the last shard's tail
+    stay zero (ppermute default) — the true image boundary's zero-pad tile.
     """
-    n, R = g.n, g.T * g.n
+    n, R, off = g.n, g.T * g.n, g.off
     if n_shards == 1:
         return flat
     down = [(i, i + 1) for i in range(n_shards - 1)]
     up = [(i, i - 1) for i in range(1, n_shards)]
-    head = lax.ppermute(flat[R:R + n], AXIS, down)   # left nbr's last tile
-    tail = lax.ppermute(flat[n:2 * n], AXIS, up)     # right nbr's first tile
-    return jnp.concatenate([head, flat[n:n + R], tail], axis=0)
+    # left nbr's last off body rows -> my head tile's tail; right nbr's
+    # first off body rows -> my tail tile's head
+    head = lax.ppermute(flat[n + R - off:n + R], AXIS, down)
+    tail = lax.ppermute(flat[n:n + off], AXIS, up)
+    zpad = jnp.zeros((n - off, flat.shape[1]), flat.dtype)
+    return jnp.concatenate(
+        [zpad, head, flat[n:n + R], tail, zpad], axis=0)
 
 
 def _valid_bounds(g, H_true, n_shards):
