@@ -185,6 +185,15 @@ def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None):
         "flow_wait_ms_per_frame": round(flow_wait / nbench * 1000, 1),
         "flow_backend": "cpu-overlap" if use_async else "tpu-batched",
     }
+
+    # serving path: inference-only denoise with the fine-tuned net (no
+    # fine-tune iterations, no flow) — the deployment mode after adaptation
+    np.asarray(engine.denoise_only(frames_dev[0]))  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(1, T):
+        deno = engine.denoise_only(frames_dev[i])
+    np.asarray(deno)
+    detail["deno_only_fps"] = round((T - 1) / (time.perf_counter() - t0), 2)
     if use_async:
         solver.close()
     writer.shutdown(wait=True)

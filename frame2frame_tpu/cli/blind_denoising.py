@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import sys
 
 import jax
 
@@ -75,6 +76,14 @@ def main(argv=None):
         jax.random.PRNGKey(0), channels=args.channels, num_layers=args.layers,
         residual=False, remat_every=remat,
     )
+    if not args.network:
+        # the reference always starts from a pretrained net
+        # (blind_denoising.py:287-288, dncnn/logs/DnCNN-S-25); online
+        # fine-tuning from random init usually diverges
+        print("warning: no --network checkpoint given — starting from random "
+              "init; expect poor/divergent PSNR (pretrain via "
+              "scripts/trte_dncnn/train.py or pass a DnCNN .pth)",
+              file=sys.stderr)
     if args.network:
         if args.network.endswith((".pth", ".pt")):
             variables = load_torch_checkpoint(args.network, num_layers=args.layers)

@@ -42,29 +42,15 @@ def torch_adam(lr, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-8):
     return optax.chain(*parts)
 
 
-def make_online_step(model, tx, iters=20, residual_model=False, unroll=None,
-                     spatial_mesh=None):
-    """Build the jitted per-frame program.
+def make_denoise(model, residual_model=False, spatial_mesh=None):
+    """Build ``denoise(variables, x, train) -> deno[, new_batch_stats]`` for a
+    single (H, W, C) frame, routing through the fused Pallas layer pipeline
+    (ops/fused_stack.py) when the model/backend/geometry allow it.
 
-    step(params, batch_stats, opt_state, cur, prev, flow) ->
-        (params, batch_stats, opt_state, deno, losses)
-
-    cur/prev: (H, W, C) in [0, 1]; flow: (H, W, 2) mapping cur -> prev coords.
-    ``residual_model`` says whether the model returns the denoised image
-    directly (harness convention) or the noise (submodule convention,
-    blind_denoising.py:218 subtracts).
-
-    ``unroll``: whether to fully unroll the fine-tune scan. Default: unroll on
-    CPU (XLA:CPU runs convolutions inside While bodies single-threaded, ~40x
-    slower than the unrolled form), keep the rolled scan on TPU (fast While,
-    much smaller compile).
-
-    ``spatial_mesh``: a Mesh with a ``space`` axis — the frame is H-split
-    across it and the fused engine runs its shard_map'd variant
-    (ops/fused_spatial.py); see parallel/spatial.make_spatial_online_step.
-    """
-    if unroll is None:
-        unroll = jax.default_backend() == "cpu"
+    This is the single denoise path shared by the online fine-tune step and
+    the inference-only (serving) path; ``residual_model`` says whether the
+    model returns the denoised image directly (harness convention) or the
+    noise (submodule convention, blind_denoising.py:218 subtracts)."""
 
     def _use_fused(x):
         # the fused Pallas pipeline (ops/fused_stack.py) carries the
@@ -122,6 +108,35 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None,
             y, updates = out
             return (y[0] if residual_model else x - y[0]), updates["batch_stats"]
         return out[0] if residual_model else x - out[0]
+
+    return denoise
+
+
+def make_online_step(model, tx, iters=20, residual_model=False, unroll=None,
+                     spatial_mesh=None):
+    """Build the jitted per-frame program.
+
+    step(params, batch_stats, opt_state, cur, prev, flow) ->
+        (params, batch_stats, opt_state, deno, losses)
+
+    cur/prev: (H, W, C) in [0, 1]; flow: (H, W, 2) mapping cur -> prev coords.
+    ``residual_model`` says whether the model returns the denoised image
+    directly (harness convention) or the noise (submodule convention,
+    blind_denoising.py:218 subtracts).
+
+    ``unroll``: whether to fully unroll the fine-tune scan. Default: unroll on
+    CPU (XLA:CPU runs convolutions inside While bodies single-threaded, ~40x
+    slower than the unrolled form), keep the rolled scan on TPU (fast While,
+    much smaller compile).
+
+    ``spatial_mesh``: a Mesh with a ``space`` axis — the frame is H-split
+    across it and the fused engine runs its shard_map'd variant
+    (ops/fused_spatial.py); see parallel/spatial.make_spatial_online_step.
+    """
+    if unroll is None:
+        unroll = jax.default_backend() == "cpu"
+    denoise = make_denoise(model, residual_model=residual_model,
+                           spatial_mesh=spatial_mesh)
 
     @jax.jit
     def step(params, batch_stats, opt_state, cur, prev, flow):
@@ -243,6 +258,9 @@ class OnlineDenoiser:
         self.iters = iters
         self._step = make_online_step(model, self.tx, iters=iters,
                                       residual_model=residual_model)
+        _deno = make_denoise(model, residual_model=residual_model)
+        self._denoise_eval = jax.jit(
+            lambda variables, x: _deno(variables, x, train=False))
 
     def process_frame(self, cur, prev, flow):
         """Fine-tune on (cur, prev, flow) and return (deno, losses)."""
@@ -253,6 +271,12 @@ class OnlineDenoiser:
             self.params, self.batch_stats, self.opt_state, cur, prev, flow
         )
         return deno, losses
+
+    def denoise_only(self, cur):
+        """Inference-only eval-mode denoise of one frame with the current
+        (fine-tuned) parameters — the serving path: no fine-tune iterations,
+        no flow (blind_denoising.py:229-230 run standalone)."""
+        return self._denoise_eval(self.variables, jnp.asarray(cur))
 
     @property
     def variables(self):

@@ -191,3 +191,20 @@ def test_online_step_compile_budget():
     step.lower(*args)
     dt = time.time() - t0
     assert dt < 60.0, f"online step traced+lowered in {dt:.1f}s"
+
+
+def test_denoise_only_matches_step_eval_denoise():
+    """The serving path (OnlineDenoiser.denoise_only) must be the same
+    eval-mode denoise the online step ends with (blind_denoising.py:229-230):
+    after process_frame, denoise_only(cur) reproduces its deno bit-exactly."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+
+    model, variables = init_dncnn(jax.random.PRNGKey(3), channels=1,
+                                  num_layers=5)
+    eng = OnlineDenoiser(model, variables, iters=2)
+    rng = np.random.default_rng(7)
+    cur = jnp.asarray(rng.random((32, 48, 1)), jnp.float32)
+    prev = jnp.asarray(rng.random((32, 48, 1)), jnp.float32)
+    deno, _ = eng.process_frame(cur, prev, jnp.zeros((32, 48, 2)))
+    again = eng.denoise_only(cur)
+    np.testing.assert_array_equal(np.asarray(deno), np.asarray(again))
