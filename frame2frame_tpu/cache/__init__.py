@@ -118,6 +118,14 @@ def _wandb_log(logger_state, cache_root, proj_name, uuid, cfg, results):
         run.summary.update(_json_safe(results))
         run.finish()
         sink = "wandb"
+        if prev == "local":
+            # upgraded: drop the fallback JSONL record so the run isn't
+            # counted in both sinks by cross-sink aggregation
+            try:
+                (Path(cache_root) / "wandb" / proj_name
+                 / f"{uuid}.jsonl").unlink(missing_ok=True)
+            except OSError:
+                pass
     except Exception:  # wandb missing or not logged in: local JSONL logger
         if prev == "local":
             return  # already captured locally; wandb still unavailable

@@ -156,7 +156,7 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
 # mid-stack runs the shard_map'd fused engine
 
 
-def _spatial_pad(model, x, mesh):
+def _spatial_pad(x, mesh):
     from ..ops.fused_spatial import pad_h
 
     B, H, W, C = x.shape
@@ -174,7 +174,7 @@ def fused_train_apply_spatial(model, params, batch_stats, x, mesh,
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
     end_conv = _make_end_conv(store_dtype)
-    xp, tile_h = _spatial_pad(model, x, mesh)
+    xp, tile_h = _spatial_pad(x, mesh)
     x2 = pack_image(xp)
 
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
@@ -219,7 +219,7 @@ def fused_eval_apply_spatial(model, params, batch_stats, x, mesh,
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
     end_conv = _make_end_conv(store_dtype)
-    xp, tile_h = _spatial_pad(model, x, mesh)
+    xp, tile_h = _spatial_pad(x, mesh)
     x2 = pack_image(xp)
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
 

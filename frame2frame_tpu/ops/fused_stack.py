@@ -165,21 +165,6 @@ def _col_mask(g):
             jnp.asarray(ok(-g.off, g.slab)[:, None]))
 
 
-def _col_mask_pair(g):
-    """(slab, 2) static column masks: column 0 for flat position r, column 1
-    for r+1 — the odd slab's lane half m reads position r+m, so its mask is
-    a per-lane-half select between these two columns. Valid-row boundary
-    discrepancies coincide with pad columns (the last flat position of the
-    image body and the position before the first are both pad pairs), so a
-    (slab, 1) row-validity window is exact for BOTH halves."""
-    def ok(start, length):
-        pos = (np.arange(length) + start) % g.wpad
-        return ((pos != 0) & (pos != g.wpad - 1)).astype(np.float32)
-
-    return jnp.asarray(
-        np.stack([ok(-g.off, g.slab), ok(-g.off + 1, g.slab)], axis=1))
-
-
 def pack_kernel_flat(w):
     """(3, 3, 64, 64) -> (9, 128, 128) pair-packed taps (ops/packed.py block
     structure: [c + 64p, d + 64q] nonzero iff 2*dw2 + p - q - 1 = dx)."""
@@ -333,7 +318,7 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
         valid = ((pos >= valid_lo) & (pos < valid_hi)).astype(jnp.float32)
         as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
-                  * (valid * cmask_slab_ref[:, 0:1]))
+                  * (valid * cmask_slab_ref[:]))
 
         # three independent partial accumulators break the serial add chain
         # between consecutive dots so the MXU pipeline stays full.
@@ -360,7 +345,7 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         # stats over valid interior positions (pad cols masked; trailing
         # H-pad rows produce acc==0 since their inputs were masked to 0,
         # except boundary leakage rows — mask them too)
-        m = cmask_slab_ref[off:off + n, 0:1] * valid[off:off + n, :]
+        m = cmask_slab_ref[off:off + n, :] * valid[off:off + n, :]
         zc = acc * m
         stats_ref[0, :] += jnp.sum(zc, axis=0)
         stats_ref[1, :] += jnp.sum(zc * acc, axis=0)
@@ -394,7 +379,11 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
     """
     ntap = 6 if odd else 9
     assert w2_flat.shape[0] == ntap, (w2_flat.shape, odd)
-    cmask_pair = _col_mask_pair(g)
+    # a single (slab, 1) column mask is exact for BOTH lane halves of the odd
+    # slab (position r and r+1): valid-row boundary discrepancies coincide
+    # with pad columns — the last flat position of the image body and the
+    # position before the first are both pad pairs
+    _, cmask_slab = _col_mask(g)
     vecs = jnp.stack([s_vec, b_vec]).astype(jnp.float32)
     dyn = valid_bounds is not None
 
@@ -403,10 +392,10 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
             pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g.slab, 2), lambda i: (0, 0),
+            pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
     ]
-    ins = [zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_pair]
+    ins = [zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_slab]
     if dyn:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ins.append(jnp.asarray(valid_bounds, jnp.int32))

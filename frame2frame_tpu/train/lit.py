@@ -80,9 +80,19 @@ def get_sim_model(cfg):
         return load_sim(cfg)
     import importlib
 
+    name = optional(cfg, "sim_module", sim_type)
     try:
-        module = importlib.import_module(optional(cfg, "sim_module", sim_type))
+        module = importlib.import_module(name)
     except ImportError:
+        if name != "stardeno":
+            # a user-specified simulator that fails to import is an error,
+            # not a cue to silently swap in the toy substitute
+            raise
+        import sys
+
+        print("warning: the external 'stardeno' noise generator is not "
+              "installed — substituting the built-in learned heteroscedastic "
+              "Gaussian simulator (models/noise_sim.py)", file=sys.stderr)
         from ..models.noise_sim import load_sim
 
         return load_sim(cfg)
@@ -102,7 +112,12 @@ class TrainModule:
         if sim_model is None:
             try:
                 sim_model = get_sim_model(init_cfg(cfg).sim)
-            except ImportError:
+            except ImportError as e:
+                import sys
+
+                print(f"warning: noise-simulator module failed to import "
+                      f"({e}); proceeding without resampling (dataset noise "
+                      f"kept)", file=sys.stderr)
                 sim_model = None
         self.sim_model = sim_model
         self.noise_sim = choose_noise_transform(c)
@@ -127,7 +142,12 @@ class TrainModule:
     def use_flow(self, epoch):
         """Flow enable for this epoch: the configured ``flow`` flag, switched
         on from ``flow_epoch`` onwards (the reference's update_flow
-        semantics, lightning.py:163-167)."""
+        semantics, lightning.py:163-167).
+
+        NB the ``flow_epoch > 0`` guard is the reference's own: update_flow
+        bails on ``flow_epoch <= 0``, so ``flow_from_end >= nepochs`` (or an
+        explicit flow_epoch=0) never switches flow on — replicated here
+        deliberately, quirk included."""
         c = self.cfg
         flow = bool(c.flow)
         if c.flow_epoch is not None and c.flow_epoch > 0 and epoch >= c.flow_epoch:

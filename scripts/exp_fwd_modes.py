@@ -115,7 +115,9 @@ def main(H=540, W=960):
             for slot in (0, 1):
                 @pl.when((i > 0) & (lax.rem(i, 2) == slot))
                 def _(slot=slot):
-                    @pl.when(i > 1)
+                    # tiles are 1..T: the last grid step (i = T+2) must not
+                    # dot a slab that was never built for tile T+1
+                    @pl.when((i > 1) & (i <= g.T + 1))
                     def _():
                         dots(1 - slot, i - 1)
 

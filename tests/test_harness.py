@@ -743,3 +743,57 @@ def test_jitted_step_matches_eager(tiny_model):
                    ntype="g", sigma=25, flow=False)
     module_i = TrainModule(cfg_i, model, residual=True)
     assert module_i._jit_step_key(0, 0) is None
+
+
+def test_sim_model_unknown_module_raises(tiny_model):
+    """get_sim_model substitutes the built-in simulator ONLY for the known
+    non-distributable 'stardeno' module; a user-specified sim_module that
+    fails to import must raise, not silently swap in toy noise."""
+    import pytest as _pytest
+
+    from frame2frame_tpu.train.lit import get_sim_model
+
+    with _pytest.raises(ImportError):
+        get_sim_model(Config(sim_type="totally_missing_simulator_pkg",
+                             sim_channels=1))
+    # the stardeno fallback still substitutes
+    assert get_sim_model(Config(sim_type="stardeno", sim_channels=1)) is not None
+
+
+def test_wandb_upgrade_removes_local_jsonl(tmp_path, monkeypatch):
+    """A run first captured by the local JSONL fallback is upgraded to wandb
+    on a later re-walk AND its fallback record is dropped, so cross-sink
+    aggregation never counts the run twice."""
+    import sys
+    import types
+
+    from frame2frame_tpu.cache import _wandb_log
+
+    state = {}
+    # first pass: no wandb importable -> local JSONL + marker 'local'
+    monkeypatch.setitem(sys.modules, "wandb", None)  # import wandb -> ImportError
+    _wandb_log(state, str(tmp_path), "proj", "u1", {"a": 1}, {"psnr": 30.0})
+    local = tmp_path / "wandb" / "proj" / "u1.jsonl"
+    marker = tmp_path / "wandb_logged" / "proj.u1"
+    assert local.exists() and marker.read_text() == "local"
+
+    # second pass: a working wandb appears -> upgrade + local record removed
+    calls = {}
+
+    class _Run:
+        summary = types.SimpleNamespace(update=lambda *_a, **_k: None)
+
+        def finish(self):
+            calls["finished"] = True
+
+    fake = types.SimpleNamespace(init=lambda **kw: _Run())
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    _wandb_log(state, str(tmp_path), "proj", "u1", {"a": 1}, {"psnr": 30.0})
+    assert calls.get("finished") and marker.read_text() == "wandb"
+    assert not local.exists()
+
+    # third pass: marker 'wandb' short-circuits (no duplicate runs)
+    fake2 = types.SimpleNamespace(
+        init=lambda **kw: (_ for _ in ()).throw(AssertionError("re-logged")))
+    monkeypatch.setitem(sys.modules, "wandb", fake2)
+    _wandb_log(state, str(tmp_path), "proj", "u1", {"a": 1}, {"psnr": 30.0})
