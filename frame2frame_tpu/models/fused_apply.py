@@ -117,13 +117,13 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
         pack_kernel_odd,
         tile_vec,
         to_flat,
-        use_odd,
+        fwd_odd,
     )
 
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
     end_conv = _make_end_conv(store_dtype)
-    odd = use_odd()
+    odd = fwd_odd()
 
     x2 = pack_image(x)
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))

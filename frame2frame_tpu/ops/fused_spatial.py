@@ -58,7 +58,8 @@ from .fused_stack import (
     pack_kernel_odd_bwd,
     tile_vec,
     to_flat,
-    use_odd,
+    bwd_odd,
+    fwd_odd,
     EPS,
 )
 
@@ -120,7 +121,7 @@ def _local_geom(Hp, W2, tile_h, n_shards):
 def _fwd_local(ws, gammas, betas, a1_loc, *, g, H_true, n_shards,
                store_dtype):
     L = ws.shape[0]
-    odd = use_odd()
+    odd = fwd_odd()
     count = float(2 * H_true * g.W2)  # GLOBAL pixel count per channel
     vb = _valid_bounds(g, H_true, n_shards)
 
@@ -157,7 +158,7 @@ def _fwd_local(ws, gammas, betas, a1_loc, *, g, H_true, n_shards,
 def _bwd_local(ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means,
                vars_, da_out_loc, *, g, H_true, n_shards, store_dtype):
     L = ws.shape[0]
-    odd = use_odd()
+    odd = bwd_odd()
     count = float(2 * H_true * g.W2)
     vb = _valid_bounds(g, H_true, n_shards)
 
@@ -295,7 +296,7 @@ fused_mid_stack_spatial.defvjp(_fused_fwd_spatial, _fused_bwd_spatial)
 def _eval_local(ws, svecs, bvecs, a1_loc, *, g, H_true, n_shards,
                 store_dtype):
     L = ws.shape[0]
-    odd = use_odd()
+    odd = fwd_odd()
     vb = _valid_bounds(g, H_true, n_shards)
     cur = _exchange(to_flat(a1_loc.astype(store_dtype), g), g, n_shards)
     for i in range(L):

@@ -56,21 +56,50 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def use_odd():
-    """Default conv formulation: the odd-slab merged-tap scheme (6 dense
-    128x128 dots per layer) unless F2F_ODD=0 selects the original pair-packed
-    9-dot form (each tap matrix half zero blocks).
+def conv_mode():
+    """Conv formulation, F2F_CONV in {"hybrid", "odd", "even"}.
 
-    Why (round-3 formulation change): with 64-channel nets on the 128-lane
-    MXU, the pair-packed taps waste half their FLOPs on zero 64x64 blocks
-    (2x tax, BASELINE.md ceiling analysis). Building a one-pixel-shifted
-    "odd" activation slab O[r] = (pixels 2*w2+1, 2*w2+2) lets each kernel
-    row dy be covered by TWO matmuls with 3/4-dense weights
-    ([[W0,0],[W1,W0]] against O at pair -1, [[W2,W1],[0,W2]] against O at
-    pair 0) instead of three half-dense ones — a 1.5x FLOP cut on the
-    forward, dX and dW products for one extra roll+select VPU pass.
+    The two formulations compute the exact same convolution:
+
+    - **even** — the original pair-packed 9-dot form: each 3x3 tap is a
+      (128, 128) matrix with half its 64x64 blocks zero (2x FLOP tax), but
+      the operand slab is consumed as-is (no extra VPU work).
+    - **odd** — the merged-tap scheme: building a one-pixel-shifted "odd"
+      activation slab O[r] = (pixels 2*w2+1, 2*w2+2) lets each kernel row dy
+      be covered by TWO matmuls with 3/4-dense weights ([[W0,0],[W1,W0]]
+      against O at pair -1, [[W2,W1],[0,W2]] at pair 0) instead of three
+      half-dense ones — a 1.5x FLOP cut for one extra roll+select VPU pass.
+
+    Measured at 540p (v5e, current kernel): **odd wins both directions** and
+    is the default. fwd 0.789 vs 0.991 ms/layer even, bwd 1.136 odd vs 1.48
+    even; a hybrid (even fwd + odd bwd) was built and measured on the round-2
+    observation that the even forward was then faster (0.75) — with the
+    current codegen it is not, and the hybrid step regresses 29.9 -> 31.3
+    ms/iter. The options stay selectable for future A/B (kernel codegen has
+    already moved this ranking once). F2F_ODD=0 is a back-compat alias for
+    "even".
     """
-    return os.environ.get("F2F_ODD", "1") != "0"
+    if os.environ.get("F2F_ODD", "1") == "0":
+        return "even"
+    mode = os.environ.get("F2F_CONV", "odd")
+    assert mode in ("hybrid", "odd", "even"), mode
+    return mode
+
+
+def fwd_odd():
+    """Forward kernels use the odd-slab form (pack_kernel_odd)."""
+    return conv_mode() == "odd"
+
+
+def bwd_odd():
+    """Backward kernels use the odd-slab form (pack_kernel_odd_bwd)."""
+    return conv_mode() in ("odd", "hybrid")
+
+
+def use_odd():
+    """Legacy umbrella switch — kept for external probes; the pipeline
+    itself selects per-direction via fwd_odd()/bwd_odd()."""
+    return conv_mode() != "even"
 
 
 # ---------------------------------------------------------------------------
@@ -111,7 +140,7 @@ class Geom:
         guards on this so the estimate and the kernel cannot drift apart."""
         slab, n = self.slab, self.n
         odd_extra = 0
-        if use_odd():
+        if bwd_odd():
             # odd slab of dz (held value) + odd slab of a_prev
             odd_extra = slab * 128 * 4 + (n + ALIGN) * 128 * 4
         return (3 * 2 * slab * 128 * store_bytes  # g/zi/zp slabs (x2 buffers)
@@ -662,7 +691,7 @@ def fused_mid_stack(ws, gammas, betas, a1, H, tile_h,
 def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
                store_dtype=jnp.bfloat16):
     L = ws.shape[0]
-    odd = use_odd()
+    odd = fwd_odd()
     g = Geom(H, a1.shape[2], tile_h)
     a_flat = to_flat(a1.astype(store_dtype), g)
 
@@ -697,7 +726,7 @@ def _fused_bwd(H, tile_h, store_dtype, res, cts):
     da_out, _dm, _dv = cts  # stat cotangents are zero (stop_gradient updates)
     ws, gammas, betas, a_flat, z_list, svecs, bvecs, means, vars_ = res
     L = ws.shape[0]
-    odd = use_odd()
+    odd = bwd_odd()
     g = Geom(H, da_out.shape[2], tile_h)
 
     # cotangent of z_L through the final BN+ReLU, reduced in FLAT space (the

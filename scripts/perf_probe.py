@@ -56,11 +56,11 @@ def probe_kernels(H, W):
         bwd_layer,
         default_tile_h,
         fwd_layer,
-        use_odd,
+        bwd_odd,
+        fwd_odd,
     )
 
-    odd = use_odd()
-    ntap = 6 if odd else 9
+    f_odd, b_odd = fwd_odd(), bwd_odd()
 
     g = Geom(H, W // 2, default_tile_h(W // 2))
     rng = np.random.default_rng(0)
@@ -70,7 +70,8 @@ def probe_kernels(H, W):
             rng.standard_normal(shape).astype(np.float32)).astype(jnp.bfloat16)
 
     zprev, zi, gg = mk((g.tot, 128)), mk((g.tot, 128)), mk((g.tot, 128))
-    w2 = mk((ntap, 128, 128))
+    w2f = mk((6 if f_odd else 9, 128, 128))
+    w2b = mk((6 if b_odd else 9, 128, 128))
     s_vec = jnp.ones((128,), jnp.float32)
     b_vec = jnp.zeros((128,), jnp.float32)
     vecs = jnp.asarray(
@@ -79,7 +80,7 @@ def probe_kernels(H, W):
     @jax.jit
     def run_fwd(zprev, w2, s_vec, b_vec):
         def body(c, _):
-            _, st = fwd_layer(zprev, w2, s_vec + c, b_vec, g, odd=odd)
+            _, st = fwd_layer(zprev, w2, s_vec + c, b_vec, g, odd=f_odd)
             return c + st[0, 0] * 1e-12, None
         return lax.scan(body, 0.0, None, length=20)[0]
 
@@ -87,15 +88,15 @@ def probe_kernels(H, W):
     def run_bwd(gg, zi, zprev, w2, vecs):
         def body(c, _):
             _, dw2, _ = bwd_layer(gg, zi, zprev, w2, vecs + c * 1e-12, g,
-                                  odd=odd)
+                                  odd=b_odd)
             return c + dw2[0, 0, 0] * 1e-12, None
         return lax.scan(body, 0.0, None, length=20)[0]
 
-    tag = "odd" if odd else "even"
-    for name, fn, args in [(f"fwd_layer[{tag}]", run_fwd,
-                            (zprev, w2, s_vec, b_vec)),
-                           (f"bwd_layer[{tag}]", run_bwd,
-                            (gg, zi, zprev, w2, vecs))]:
+    for name, fn, args in [
+            (f"fwd_layer[{'odd' if f_odd else 'even'}]", run_fwd,
+             (zprev, w2f, s_vec, b_vec)),
+            (f"bwd_layer[{'odd' if b_odd else 'even'}]", run_bwd,
+             (gg, zi, zprev, w2b, vecs))]:
         o = fn(*args)
         float(np.asarray(o))
         t0 = time.perf_counter()
