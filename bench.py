@@ -30,6 +30,7 @@ device completion — a small device->host readback of the result forces it.
 """
 
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -194,6 +195,25 @@ def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None):
         deno = engine.denoise_only(frames_dev[i])
     np.asarray(deno)
     detail["deno_only_fps"] = round((T - 1) / (time.perf_counter() - t0), 2)
+
+    # batched serving (train/online.OnlineDenoiser.denoise_batch), both
+    # routes: stacked one-kernel-chain-per-layer (default — measured faster
+    # for a batch handed as one array) and per-frame slice+dispatch
+    import jax.numpy as jnp
+
+    B = 8
+    batch = jnp.stack([frames_dev[i % T] for i in range(B)])
+    reps = max(1, (T - 1) // B + 1)
+    for route, key in (("stacked", "deno_batch_fps"),
+                       ("perframe", "deno_batch_perframe_fps")):
+        os.environ["F2F_BATCH"] = route
+        np.asarray(engine.denoise_batch(batch))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            deno_b = engine.denoise_batch(batch)
+        np.asarray(deno_b)
+        detail[key] = round(reps * B / (time.perf_counter() - t0), 2)
+    os.environ.pop("F2F_BATCH", None)
     if use_async:
         solver.close()
     writer.shutdown(wait=True)

@@ -149,6 +149,74 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
     return x - noise if model.residual else noise
 
 
+def fused_eval_apply_batch(model, params, batch_stats, x,
+                           store_dtype=jnp.bfloat16):
+    """Eval-mode DnCNN forward over a BATCH of frames on the fused pipeline —
+    the serving path (denoise many adapted frames / a whole clip at once).
+
+    Eval-mode BatchNorm uses running statistics, so frames are independent:
+    the batch stacks vertically into one flat layout (frame k on tiles
+    [k*T_f, (k+1)*T_f), trailing rows of each block zeroed) and the whole
+    stack runs through ONE kernel chain per layer. Frame isolation is
+    exact: the in-kernel stack mask (ops/fused_stack.fwd_layer(stack=..))
+    zeroes the >= 1 separator rows every tile reads its halos from, the same
+    mechanism that isolates the single-frame H padding.
+
+    Measured (v5e, 540p, B=8, batch handed as one device array): 36 fps vs
+    29 fps for slicing the batch and dispatching the single-frame chain per
+    frame — the stack mask adds per-element VPU work to every tile of the
+    VPU-bound kernels, but the slice/restack overhead of the per-frame
+    route costs more, so this is ``OnlineDenoiser.denoise_batch``'s
+    default. A caller already holding separate frames is fastest looping
+    the single-frame chain directly (80 fps; launches hidden by JAX async
+    dispatch).
+
+    x: (B, H, W, C). Returns (B, H, W, C) denoised (model output convention).
+    """
+    from ..ops.fused_stack import (
+        Geom,
+        _affine_from_stats,
+        from_flat_stack,
+        fwd_layer,
+        pack_kernel_flat,
+        pack_kernel_odd,
+        stack_tiles,
+        tile_vec,
+        to_flat_stack,
+        fwd_odd,
+    )
+
+    B, H, W, C = x.shape
+    nmid = model.num_layers - 2
+    end_conv = _make_end_conv(store_dtype)
+    odd = fwd_odd()
+
+    x2 = pack_image(x)  # (B, H, W2, 2C)
+    a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
+    tile_h = default_tile_h(W // 2)
+    T_f = stack_tiles(H, tile_h)
+    g = Geom(B * T_f * tile_h, W // 2, tile_h)
+    stack = (T_f, H)
+
+    cur = to_flat_stack(a1.astype(store_dtype), g, T_f)
+    s_vec = jnp.ones((128,), jnp.float32)
+    b_vec = jnp.zeros((128,), jnp.float32)
+    for i in range(nmid):
+        kern = params[f"conv_{i}"]["kernel"]
+        w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
+        cur, _ = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd, stack=stack)
+        s64, b64, _ = _affine_from_stats(
+            batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
+            params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
+        s_vec, b_vec = tile_vec(s64), tile_vec(b64)
+
+    a_out = from_flat_stack(
+        jnp.maximum(cur.astype(jnp.float32) * s_vec + b_vec, 0.0), H, g, T_f)
+    noise2 = end_conv(a_out, params["conv_out"]["kernel"])
+    noise = unpack_image(noise2).astype(jnp.float32)
+    return x - noise if model.residual else noise
+
+
 # ---------------------------------------------------------------------------
 # spatially sharded variants (ops/fused_spatial.py): single large frames
 # H-split across a ``space`` mesh axis; the boundary C<->64 convs stay XLA

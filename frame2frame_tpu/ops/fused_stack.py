@@ -184,6 +184,36 @@ def from_flat(flat, g):
     return img[:g.H, 1:g.wpad - 1][None]
 
 
+def stack_tiles(H, tile_h):
+    """Tiles per frame block in the stacked-serving layout: each frame gets
+    ceil(H / tile_h) tiles, plus one more when H fills them exactly, so at
+    least one zero separator row stops 3x3 conv bleed between frames."""
+    T_f = -(-H // tile_h)
+    return T_f + 1 if T_f * tile_h == H else T_f
+
+
+def to_flat_stack(a2, g, T_f):
+    """(B, H, W2, 128) packed frames -> flat ((B*T_f+2)*n, 128): frame k
+    occupies tiles [k*T_f, (k+1)*T_f) with its trailing Hs - H rows zero.
+    Requires g == Geom(B*T_f*tile_h, W2, tile_h)."""
+    B, H, W2, C2 = a2.shape
+    Hs = T_f * g.tile_h
+    assert g.H == B * Hs and Hs > H, (g.H, B, Hs, H)
+    ap = jnp.pad(a2, ((0, 0), (0, Hs - H), (1, 1), (0, 0)))
+    flat = ap.reshape(B * Hs * g.wpad, C2)
+    z = jnp.zeros((g.n, C2), flat.dtype)
+    return jnp.concatenate([z, flat, z], axis=0)
+
+
+def from_flat_stack(flat, H, g, T_f):
+    """Inverse of to_flat_stack: flat -> (B, H, W2, 128)."""
+    Hs = T_f * g.tile_h
+    B = g.H // Hs
+    body = flat[g.n:g.n + B * Hs * g.wpad]
+    img = body.reshape(B, Hs, g.wpad, flat.shape[-1])
+    return img[:, :H, 1:g.wpad - 1]
+
+
 def _col_mask(g):
     """Static column masks (tile, slab): 0.0 at pad-pair flat positions."""
     def ok(start, length):
@@ -312,7 +342,7 @@ def _slab_dma(hbm, slabs, sems, j, slot, g):
 
 
 def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
-                *rest, g, odd, dyn_valid=False):
+                *rest, g, odd, dyn_valid=False, stack=None):
     if dyn_valid:
         # spatial sharding (ops/fused_spatial.py): the row-validity window is
         # shard-dependent, so it arrives as SMEM scalars instead of being
@@ -324,6 +354,21 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         valid_lo, valid_hi = g.valid_lo, g.valid_hi
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
+
+    def frame_valid():
+        """Stacked-serving row mask: the body holds B frames of T_f tiles
+        each (frame rows [0, frame_h) valid, the Hs - frame_h trailing rows
+        are zero separators that stop conv bleed between frames). Frames are
+        tile-aligned, so the position of this tile within its frame block is
+        rem(i-1, T_f)*n; halo rows wrap into the neighbor block by < n
+        positions, so one conditional add/sub folds them (off < n <= blk)."""
+        T_f, frame_h = stack
+        blk = T_f * n
+        base = lax.rem(i - 1, T_f) * n - off
+        x = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + base
+        x = jnp.where(x < 0, x + blk, x)
+        x = jnp.where(x >= blk, x - blk, x)
+        return x < frame_h * g.wpad
 
     @pl.when(i == 0)
     def _():
@@ -345,7 +390,10 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         b = vecs_ref[1, :]   # prev-layer BN shift
         # validity: global flat position within the real image rows
         pos = lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start
-        valid = ((pos >= valid_lo) & (pos < valid_hi)).astype(jnp.float32)
+        vb = (pos >= valid_lo) & (pos < valid_hi)
+        if stack is not None:
+            vb = vb & frame_valid()
+        valid = vb.astype(jnp.float32)
         as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
                   * (valid * cmask_slab_ref[:]))
 
@@ -391,7 +439,7 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
 
 
 def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
-              valid_bounds=None):
+              valid_bounds=None, stack=None):
     """One fused mid-layer forward pass over the flat layout.
 
     zprev_flat: ((T+2)*n, 128) bf16 — previous layer's raw conv output (or
@@ -402,10 +450,14 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
     (z -> a = relu(s*z + b));
     valid_bounds: optional (2,) int32 [lo, hi) row-validity window in local
     flat positions, replacing the static [g.n, g.n + H*wpad) — used by the
-    spatially sharded pipeline where halo tiles hold real neighbor rows.
+    spatially sharded pipeline where halo tiles hold real neighbor rows;
+    stack: optional static (T_f, frame_h) — the body is a stack of frames
+    of T_f tiles each with only the first frame_h rows real (batched
+    serving eval, models/fused_apply.fused_eval_apply_batch).
 
     Returns (z_flat bf16, stats (2, 128) f32 = (sum z, sum z^2) per lane).
     """
+    assert not (stack is not None and valid_bounds is not None)
     ntap = 6 if odd else 9
     assert w2_flat.shape[0] == ntap, (w2_flat.shape, odd)
     # a single (slab, 1) column mask is exact for BOTH lane halves of the odd
@@ -430,7 +482,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
         ins.append(jnp.asarray(valid_bounds, jnp.int32))
 
     z_flat, stats = pl.pallas_call(
-        partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn),
+        partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn, stack=stack),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=[

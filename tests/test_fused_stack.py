@@ -243,3 +243,67 @@ def test_flat_layout_roundtrip(H, W2, th):
     assert float(jnp.abs(flat[g.n + g.T * g.tile_h * g.wpad:]).max()) == 0.0
     back = from_flat(flat, g)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+
+
+def test_fused_eval_apply_batch_matches_per_frame():
+    """The stacked batched serving eval (fused_eval_apply_batch) equals
+    per-frame fused_eval_apply AND model.apply(train=False): the in-kernel
+    stack mask isolates frames exactly (separator rows zeroed before every
+    conv), eval-mode BN has no cross-frame coupling. Covers H a multiple of
+    tile_h (extra separator tile) and H with trailing pad rows."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import (
+        fused_eval_apply,
+        fused_eval_apply_batch,
+    )
+
+    for H, W in ((16, 32), (13, 20)):
+        model, variables = init_dncnn(jax.random.PRNGKey(7), channels=1,
+                                      num_layers=5, conv_impl="packed",
+                                      spatial=(H, W))
+        bs = jax.tree_util.tree_map(lambda v: v + 0.03,
+                                    variables["batch_stats"])
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.random((3, H, W, 1)), jnp.float32)
+
+        yb = fused_eval_apply_batch(model, variables["params"], bs, x,
+                                    store_dtype=jnp.float32)
+        y_ref = model.apply({"params": variables["params"],
+                             "batch_stats": bs}, x, train=False)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(y_ref),
+                                   rtol=2e-4, atol=2e-4)
+        for k in range(3):
+            y1 = fused_eval_apply(model, variables["params"], bs, x[k:k + 1],
+                                  store_dtype=jnp.float32)
+            np.testing.assert_allclose(np.asarray(yb[k]), np.asarray(y1[0]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_denoise_batch_engine(monkeypatch):
+    """OnlineDenoiser.denoise_batch == per-frame denoise_only results, on
+    BOTH routes: the default stacked batched forward and the
+    F2F_BATCH=perframe slice+dispatch route (CPU model path here; the fused
+    stacked kernels are pinned by
+    test_fused_eval_apply_batch_matches_per_frame and exercised on TPU by
+    bench.py's deno_batch metric)."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.train.online import OnlineDenoiser
+
+    H, W = 12, 16
+    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                  num_layers=4, conv_impl="packed",
+                                  spatial=(H, W))
+    eng = OnlineDenoiser(model, variables, iters=1)
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.random((4, H, W, 1)), jnp.float32)
+    y_ref = np.stack([np.asarray(eng.denoise_only(frames[k]))
+                      for k in range(4)])
+    for route in (None, "perframe"):
+        if route is None:
+            monkeypatch.delenv("F2F_BATCH", raising=False)
+        else:
+            monkeypatch.setenv("F2F_BATCH", route)
+        yb = eng.denoise_batch(frames)
+        assert yb.shape == frames.shape
+        np.testing.assert_allclose(np.asarray(yb), y_ref,
+                                   rtol=1e-5, atol=1e-6)
