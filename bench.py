@@ -5,8 +5,16 @@ tvl1flow.sh:10-18) + 20-iteration online fine-tune + eval-mode denoise +
 output readback — the reference workload of blind_denoising.py
 (BASELINE.json configs 1/2/5 fused).
 
-Round-3 protocol (the round-2 verdict's bench hardening):
-- >= 20 timed frames after warm-up (steady state, not a burst);
+Round-4 protocol (the round-3 verdict's bench hardening):
+- **supervisor/child split**: ``python bench.py`` runs a light supervisor
+  (no jax import) that executes the actual benchmark in a fresh child
+  subprocess and RETRIES with backoff when the child dies before completing
+  (a wedged TPU client, a tunnel hiccup, an UNAVAILABLE backend at init —
+  the failure mode that produced an rc=1 BENCH_r03.json with zero evidence).
+  If every retry fails, the supervisor still prints a best-effort JSON line
+  with an "error" field and exits 0, so the driver always records a result;
+- >= 100 timed 540p frames after warm-up and >= 20 at 1080p, with p50/p95
+  per-frame completion intervals in "detail" (dispersion, not just a mean);
 - flow solved on the host CPU in a background thread, overlapping the TPU
   fine-tune (train/online.py AsyncFlowSolver) — per-frame wall-clock is
   max(finetune, flow), mirroring the reference's offline flow decoupling;
@@ -14,23 +22,27 @@ Round-3 protocol (the round-2 verdict's bench hardening):
   real pipeline writes every output frame);
 - real frames are preferred when a sequence exists under data/ (e.g. a
   derf-hd clip: data/<set>/<vid>/*.png); synthetic moving texture otherwise;
-- the per-stage split and a 1080p streaming number ride in "detail".
+- every successful run writes the full detail block to ``bench_detail.json``
+  next to this file — the committed artifact backing any quoted number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Baseline provenance (BASELINE.md): the reference publishes no numbers; the
-reference C TV-L1 binary measured on this host CPU takes ~0.35 s/frame at 540p
-(bflow only, denoising params). The 20-iteration DnCNN-17 fine-tune+denoise at
-540p is ~35 TFLOP of conv work per frame; on a paper-era CUDA GPU sustaining
-~10 TFLOPs on these convs that is ~3.5 s/frame — reference total
-~3.85 s/frame => ~0.26 fps.
+Baseline provenance (BASELINE.md, incl. the sensitivity band): the reference
+publishes no numbers; the reference C TV-L1 binary measured on this host CPU
+takes ~0.35 s/frame at 540p (bflow only, denoising params). The 20-iteration
+DnCNN-17 fine-tune+denoise at 540p is ~35 TFLOP of conv work per frame; on a
+paper-era CUDA GPU sustaining ~10 TFLOPs on these convs that is ~3.5 s/frame
+— reference total ~3.85 s/frame => ~0.26 fps.
 
-Timing note: under the axon TPU tunnel ``block_until_ready`` does not wait for
-device completion — a small device->host readback of the result forces it.
+Timing note: under the axon TPU tunnel ``block_until_ready`` does not wait
+for device completion — a small device->host readback of the result forces
+it.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -41,9 +53,15 @@ REF_SECONDS_PER_FRAME = 3.85  # measured C flow (0.35) + FLOP-based CUDA finetun
 
 H, W = 540, 960
 WARMUP_FRAMES = 2
-BENCH_FRAMES = 20
+BENCH_FRAMES = int(os.environ.get("F2F_BENCH_FRAMES", "100"))
 ITERS = 20
-BENCH_1080P_FRAMES = 4  # secondary metric (BASELINE.json config 5)
+BENCH_1080P_FRAMES = int(os.environ.get("F2F_BENCH_1080P_FRAMES", "20"))
+
+# supervisor knobs
+CHILD_TIMEOUT_S = int(os.environ.get("F2F_BENCH_CHILD_TIMEOUT", "3600"))
+RETRY_DEADLINE_S = int(os.environ.get("F2F_BENCH_RETRY_DEADLINE", "900"))
+BACKOFFS_S = (5, 15, 30, 60, 60, 120, 120, 180)
+INIT_MARKER = "F2F_BENCH_DEVICES_OK"
 
 
 def _clear_stale_tpu_lock():
@@ -51,7 +69,6 @@ def _clear_stale_tpu_lock():
     the next process with FAILED_PRECONDITION. If the flock is acquirable the
     lock is stale — remove it."""
     import fcntl
-    import os
 
     path = "/tmp/libtpu_lockfile"
     try:
@@ -105,7 +122,19 @@ def _synthetic_frames(h, w, count, seed=0):
     ]).astype(np.float32)
 
 
-def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None):
+def _percentiles(intervals):
+    if not intervals:
+        return {}
+    arr = np.asarray(intervals) * 1000.0
+    return {
+        "frame_ms_p50": round(float(np.percentile(arr, 50)), 1),
+        "frame_ms_p95": round(float(np.percentile(arr, 95)), 1),
+        "frame_ms_max": round(float(arr.max()), 1),
+    }
+
+
+def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None,
+               serving=True):
     """Run the streaming pipeline over ``frames`` ((T,H,W) float [0,1]);
     returns (fps, detail) over the frames after ``warmup``."""
     import jax
@@ -152,12 +181,18 @@ def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None):
             return cache.pop(i)
 
     # writer thread: output readback overlaps the next frame's compute (the
-    # real pipeline writes each denoised frame to disk the same way)
+    # real pipeline writes each denoised frame to disk the same way); each
+    # frame's completion time is stamped when its readback lands, giving
+    # per-frame intervals without stalling the dispatch pipeline
     writer = ThreadPoolExecutor(max_workers=1)
     sink = []
+    done_t = []
 
     def emit(deno):
-        sink.append(writer.submit(np.asarray, deno))
+        def work():
+            np.asarray(deno)
+            done_t.append(time.perf_counter())
+        sink.append(writer.submit(work))
 
     # warm-up (compile + steady the flow worker)
     for i in range(1, warmup + 1):
@@ -186,42 +221,48 @@ def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None):
         "flow_wait_ms_per_frame": round(flow_wait / nbench * 1000, 1),
         "flow_backend": "cpu-overlap" if use_async else "tpu-batched",
     }
+    detail.update(_percentiles(np.diff(done_t).tolist()))
 
-    # serving path: inference-only denoise with the fine-tuned net (no
-    # fine-tune iterations, no flow) — the deployment mode after adaptation
-    np.asarray(engine.denoise_only(frames_dev[0]))  # compile + warm
-    t0 = time.perf_counter()
-    for i in range(1, T):
-        deno = engine.denoise_only(frames_dev[i])
-    np.asarray(deno)
-    detail["deno_only_fps"] = round((T - 1) / (time.perf_counter() - t0), 2)
-
-    # batched serving (train/online.OnlineDenoiser.denoise_batch), both
-    # routes: stacked one-kernel-chain-per-layer (default — measured faster
-    # for a batch handed as one array) and per-frame slice+dispatch
-    import jax.numpy as jnp
-
-    B = 8
-    batch = jnp.stack([frames_dev[i % T] for i in range(B)])
-    reps = max(1, (T - 1) // B + 1)
-    for route, key in (("stacked", "deno_batch_fps"),
-                       ("perframe", "deno_batch_perframe_fps")):
-        os.environ["F2F_BATCH"] = route
-        np.asarray(engine.denoise_batch(batch))  # compile + warm
+    if serving:
+        # serving path: inference-only denoise with the fine-tuned net (no
+        # fine-tune iterations, no flow) — the deployment mode after
+        # adaptation; stats-free eval kernel (fused_apply.fused_eval_apply)
+        np.asarray(engine.denoise_only(frames_dev[0]))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(reps):
-            deno_b = engine.denoise_batch(batch)
-        np.asarray(deno_b)
-        detail[key] = round(reps * B / (time.perf_counter() - t0), 2)
-    os.environ.pop("F2F_BATCH", None)
+        for i in range(1, T):
+            deno = engine.denoise_only(frames_dev[i])
+        np.asarray(deno)
+        detail["deno_only_fps"] = round((T - 1) / (time.perf_counter() - t0), 2)
+
+        # batched serving (train/online.OnlineDenoiser.denoise_batch), both
+        # routes via the call argument: stacked one-kernel-chain-per-layer
+        # (default — measured faster for a batch handed as one array) and
+        # per-frame slice+dispatch
+        B = 8
+        batch = jnp.stack([frames_dev[i % T] for i in range(B)])
+        reps = max(1, (T - 1) // B + 1)
+        for route, key in (("stacked", "deno_batch_fps"),
+                           ("perframe", "deno_batch_perframe_fps")):
+            np.asarray(engine.denoise_batch(batch, route=route))  # warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                deno_b = engine.denoise_batch(batch, route=route)
+            np.asarray(deno_b)
+            detail[key] = round(reps * B / (time.perf_counter() - t0), 2)
     if use_async:
         solver.close()
     writer.shutdown(wait=True)
     return fps, detail
 
 
-def main():
+def child_main():
+    """The actual benchmark (runs in the supervised subprocess)."""
     _clear_stale_tpu_lock()
+    import jax
+
+    jax.devices()  # fail fast here if the backend is unavailable
+    print(INIT_MARKER, file=sys.stderr, flush=True)
+
     total = WARMUP_FRAMES + BENCH_FRAMES + 1
     frames = _real_frames(H, W, total)
     source = "real" if frames is not None else "synthetic"
@@ -237,25 +278,98 @@ def main():
         hd = _real_frames(1080, 1920, total_hd)
         if hd is None:
             hd = _synthetic_frames(1080, 1920, total_hd, seed=1)
-        fps_hd, detail_hd = run_stream(hd, warmup=WARMUP_FRAMES)
+        fps_hd, detail_hd = run_stream(hd, warmup=WARMUP_FRAMES,
+                                       serving=False)
         detail["fps_1080p"] = round(fps_hd, 4)
         detail["ms_per_frame_1080p"] = detail_hd["ms_per_frame"]
+        detail["frames_1080p"] = detail_hd["frames"]
+        for k in ("frame_ms_p50", "frame_ms_p95"):
+            if k in detail_hd:
+                detail[f"{k}_1080p"] = detail_hd[k]
     except Exception as e:  # the headline metric must still print
         detail["fps_1080p_error"] = f"{type(e).__name__}: {e}"[:120]
 
     baseline_fps = 1.0 / REF_SECONDS_PER_FRAME
-    print(
-        json.dumps(
-            {
-                "metric": "frames/sec end-to-end (flow+finetune+denoise) at 540p",
-                "value": round(fps, 4),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / baseline_fps, 3),
-                "detail": detail,
-            }
-        )
-    )
+    result = {
+        "metric": "frames/sec end-to-end (flow+finetune+denoise) at 540p",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / baseline_fps, 3),
+        "detail": detail,
+    }
+    # committed artifact: every quoted perf number traces to this file
+    try:
+        art = dict(result)
+        art["ref_seconds_per_frame"] = REF_SECONDS_PER_FRAME
+        with open(Path(__file__).resolve().parent / "bench_detail.json",
+                  "w") as f:
+            json.dump(art, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result))
+
+
+def _parse_result(stdout):
+    """Last stdout line that parses as the result JSON, else None."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "value" in obj and "metric" in obj:
+            return obj
+    return None
+
+
+def main():
+    """Supervisor: run the benchmark in a fresh subprocess, retrying backend
+    failures with backoff; ALWAYS print one JSON line and exit 0."""
+    t_start = time.monotonic()
+    errors = []
+    attempt = 0
+    while True:
+        attempt += 1
+        _clear_stale_tpu_lock()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S)
+            result = _parse_result(proc.stdout)
+            if proc.returncode == 0 and result is not None:
+                result.setdefault("detail", {})["bench_attempts"] = attempt
+                print(json.dumps(result))
+                return
+            init_ok = INIT_MARKER in proc.stderr
+            errors.append(
+                f"attempt {attempt}: rc={proc.returncode} "
+                f"init={'ok' if init_ok else 'FAILED'} "
+                f"stderr={proc.stderr.strip()[-400:]}")
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {attempt}: child timeout "
+                          f"{CHILD_TIMEOUT_S}s")
+        elapsed = time.monotonic() - t_start
+        if elapsed > RETRY_DEADLINE_S:
+            break
+        backoff = BACKOFFS_S[min(attempt - 1, len(BACKOFFS_S) - 1)]
+        print(f"bench attempt {attempt} failed; retrying in {backoff}s "
+              f"({int(elapsed)}s elapsed)", file=sys.stderr, flush=True)
+        time.sleep(backoff)
+
+    # all retries failed: best-effort JSON so the driver records evidence
+    print(json.dumps({
+        "metric": "frames/sec end-to-end (flow+finetune+denoise) at 540p",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "error": " | ".join(errors)[-1500:],
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child_main()
+    else:
+        main()

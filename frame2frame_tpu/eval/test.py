@@ -58,7 +58,8 @@ def run(cfg):
 
     results = Config()
     for k in ("psnrs", "ssims", "strred", "psnrs_pp", "ssims_pp", "strred_pp",
-              "noisy_psnrs", "deno_fns", "vid_frames", "vid_name"):
+              "strred_method", "noisy_psnrs", "deno_fns", "vid_frames",
+              "vid_name"):
         results[k] = []
     time_fields = ["flow", "deno", "deno_pp", "adapt", "fwd_grad", "bwd"]
     for f in time_fields:
@@ -215,6 +216,10 @@ def run(cfg):
             results.psnrs_pp.append(compute_psnrs(clean_np, deno_pp, div=imax))
             results.ssims_pp.append(compute_ssims(clean_np, deno_pp, div=imax))
             results.strred_pp.append(compute_strred(clean_np, deno_pp, div=imax))
+            # tag the band method: the spyr/analytic implementations differ
+            # ~4x in absolute scale (utils/metrics.compute_strred docstring),
+            # so cross-run aggregation must never mix them silently
+            results.strred_method.append(["spyr"])
             results.noisy_psnrs.append(compute_psnrs(noisy_np, clean_np, div=imax))
             results.deno_fns.append(deno_fns)
             results.vid_frames.append(vid_frames)

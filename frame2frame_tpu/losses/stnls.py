@@ -156,7 +156,15 @@ class DnlsLoss:
 
         def nmz(v, ps_eff):
             """normalize_bwd (stnls kernels, stnls_loss.py:279,287): scale the
-            search gradient w.r.t. the video by the patch element count."""
+            search gradient w.r.t. the video by the patch element count.
+
+            Applied only on refine_search inputs. The reference passes
+            normalize_bwd to NonLocalSearch too (stnls_loss.py:279), but the
+            initial search here runs on stop_gradient'ed inputs and its dists
+            are stop_gradient'ed again before masking — no gradient flows
+            through it, so scaling it would be a no-op. If a future criterion
+            lets gradients flow through non_local_search, wrap its video in
+            nmz as well or the backward will be unnormalized."""
             if not self.nmz_bwd or ps_eff <= 1:
                 return v
             return nls.scale_grad(v, 1.0 / float(ps_eff * ps_eff))

@@ -40,7 +40,7 @@ def _make_end_conv(store_dtype):
     return end_conv
 
 
-def can_fuse(model, x_shape):
+def can_fuse(model, x_shape, conv=None):
     """The fused pipeline covers the standard packed DnCNN: batch 1, 64
     features, even width, tall-enough frames for the tile geometry, and a
     backward-kernel scratch footprint that fits VMEM (very wide frames —
@@ -58,15 +58,43 @@ def can_fuse(model, x_shape):
     from ..ops.fused_stack import Geom
 
     g = Geom(H, W2, th)
-    return g.bwd_scratch_bytes() < 88 * 1024 * 1024
+    return g.bwd_scratch_bytes(conv=conv) < 88 * 1024 * 1024
 
 
-def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
+def can_fuse_batch(model, x_shape, hbm_budget_bytes=12 * 1024 ** 3):
+    """Feasibility of the STACKED batched-serving layout
+    (``fused_eval_apply_batch``): the whole (B, H, W) batch becomes one flat
+    ((B*T_f+2)*n, 128) activation per live tensor, so beyond the single-frame
+    tile-geometry checks the stacked HBM footprint must fit. The eval chain
+    keeps ~2 live flat tensors (current + next layer, double-buffered by
+    XLA) plus the packed input/output; guard at 4x one flat tensor against
+    ``hbm_budget_bytes`` (v5e: 16 GB minus weights/workspace headroom).
+    Callers fall back to the per-frame route when this fails — the serving
+    analogue of the reference's chunked-inference memory discipline
+    (test.py:172-175)."""
+    B, H, W, _ = x_shape
+    if model.features != 64 or W % 2:
+        return False
+    W2 = W // 2
+    th = default_tile_h(W2)
+    if (th * (W2 + 2)) % 16 != 0 or H < th or model.num_layers < 3:
+        return False
+    from ..ops.fused_stack import Geom, stack_tiles
+
+    T_f = stack_tiles(H, th)
+    g = Geom(B * T_f * th, W2, th)
+    flat_bytes = g.tot * 128 * 2  # bf16 store dtype
+    return 4 * flat_bytes < hbm_budget_bytes
+
+
+def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16,
+                      conv=None):
     """Training-mode DnCNN forward with batch-stat updates.
 
     x: (1, H, W, C). Returns (out, new_batch_stats) where ``out`` matches
     the model's output convention (noise, or x - noise when
-    ``model.residual``).
+    ``model.residual``). ``conv``: formulation override (fused_stack
+    conv_mode; the F2F_CONV env var wins).
     """
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
@@ -80,7 +108,7 @@ def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
 
     tile_h = default_tile_h(W // 2)
     a_out, means, vars_ = fused_mid_stack(ws, gammas, betas, a1, H, tile_h,
-                                          store_dtype)
+                                          store_dtype, conv)
 
     noise2 = end_conv(a_out, params["conv_out"]["kernel"])
     noise = unpack_image(noise2).astype(jnp.float32)
@@ -101,12 +129,16 @@ def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
     return out, new_bs
 
 
-def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
+def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16,
+                     conv=None):
     """Eval-mode DnCNN forward on the fused pipeline (running statistics,
     no stat updates) — the final per-frame denoise (blind_denoising.py:229).
 
-    Reuses the training forward kernel (its stats epilogue is ~free), so no
-    extra Mosaic compilation beyond the training step's.
+    Runs the STATS-FREE forward kernel variant (emit_stats=False): eval-mode
+    BN uses running statistics, so the training kernel's per-tile batch-stat
+    masking and reductions are dead work here — dropped entirely (the
+    round-3 verdict's stats-free eval kernel). Costs one extra Mosaic
+    program per geometry (persistent-compile-cache amortized).
     """
     from ..ops.fused_stack import (
         Geom,
@@ -123,7 +155,7 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
     end_conv = _make_end_conv(store_dtype)
-    odd = fwd_odd()
+    odd = fwd_odd(conv)
 
     x2 = pack_image(x)
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
@@ -136,7 +168,7 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
     for i in range(nmid):
         kern = params[f"conv_{i}"]["kernel"]
         w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
-        cur, _ = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd)
+        cur, = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd, emit_stats=False)
         s64, b64, _ = _affine_from_stats(
             batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
             params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
@@ -150,7 +182,7 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16):
 
 
 def fused_eval_apply_batch(model, params, batch_stats, x,
-                           store_dtype=jnp.bfloat16):
+                           store_dtype=jnp.bfloat16, conv=None):
     """Eval-mode DnCNN forward over a BATCH of frames on the fused pipeline —
     the serving path (denoise many adapted frames / a whole clip at once).
 
@@ -189,7 +221,7 @@ def fused_eval_apply_batch(model, params, batch_stats, x,
     B, H, W, C = x.shape
     nmid = model.num_layers - 2
     end_conv = _make_end_conv(store_dtype)
-    odd = fwd_odd()
+    odd = fwd_odd(conv)
 
     x2 = pack_image(x)  # (B, H, W2, 2C)
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
@@ -204,7 +236,8 @@ def fused_eval_apply_batch(model, params, batch_stats, x,
     for i in range(nmid):
         kern = params[f"conv_{i}"]["kernel"]
         w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
-        cur, _ = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd, stack=stack)
+        cur, = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd, stack=stack,
+                         emit_stats=False)
         s64, b64, _ = _affine_from_stats(
             batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
             params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
@@ -234,7 +267,7 @@ def _spatial_pad(x, mesh):
 
 
 def fused_train_apply_spatial(model, params, batch_stats, x, mesh,
-                              store_dtype=jnp.bfloat16):
+                              store_dtype=jnp.bfloat16, conv=None):
     """``fused_train_apply`` with the mid-stack H-sharded over ``mesh``'s
     ``space`` axis — exact single-chip semantics (sync-BN statistics)."""
     from ..ops.fused_spatial import fused_mid_stack_spatial
@@ -258,7 +291,7 @@ def fused_train_apply_spatial(model, params, batch_stats, x, mesh,
     betas = jnp.stack([params[f"bn_{i}"]["bias"] for i in range(nmid)])
 
     a_out, means, vars_ = fused_mid_stack_spatial(
-        ws, gammas, betas, a1, H, tile_h, store_dtype, mesh)
+        ws, gammas, betas, a1, H, tile_h, store_dtype, mesh, conv)
     a_out = a_out[:, :H]
 
     noise2 = end_conv(a_out, params["conv_out"]["kernel"])
@@ -279,7 +312,7 @@ def fused_train_apply_spatial(model, params, batch_stats, x, mesh,
 
 
 def fused_eval_apply_spatial(model, params, batch_stats, x, mesh,
-                             store_dtype=jnp.bfloat16):
+                             store_dtype=jnp.bfloat16, conv=None):
     """``fused_eval_apply`` H-sharded over ``mesh``'s ``space`` axis."""
     from ..ops.fused_spatial import eval_mid_stack_spatial
     from ..ops.fused_stack import _affine_from_stats, tile_vec
@@ -302,7 +335,8 @@ def fused_eval_apply_spatial(model, params, batch_stats, x, mesh,
         bvecs.append(tile_vec(b64))
 
     a_out = eval_mid_stack_spatial(ws, jnp.stack(svecs), jnp.stack(bvecs),
-                                   a1, H, tile_h, store_dtype, mesh)[:, :H]
+                                   a1, H, tile_h, store_dtype, mesh,
+                                   conv)[:, :H]
     noise2 = end_conv(a_out, params["conv_out"]["kernel"])
     noise = unpack_image(noise2).astype(jnp.float32)
     return x - noise if model.residual else noise

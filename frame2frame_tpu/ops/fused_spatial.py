@@ -60,6 +60,7 @@ from .fused_stack import (
     to_flat,
     bwd_odd,
     fwd_odd,
+    store_odd_act,
     EPS,
 )
 
@@ -119,9 +120,10 @@ def _local_geom(Hp, W2, tile_h, n_shards):
 
 
 def _fwd_local(ws, gammas, betas, a1_loc, *, g, H_true, n_shards,
-               store_dtype):
+               store_dtype, conv=None):
     L = ws.shape[0]
-    odd = fwd_odd()
+    odd = fwd_odd(conv)
+    store_o = store_odd_act(conv)
     count = float(2 * H_true * g.W2)  # GLOBAL pixel count per channel
     vb = _valid_bounds(g, H_true, n_shards)
 
@@ -129,12 +131,19 @@ def _fwd_local(ws, gammas, betas, a1_loc, *, g, H_true, n_shards,
     s_vec = jnp.ones((128,), jnp.float32)
     b_vec = jnp.zeros((128,), jnp.float32)
     a_flat = cur
-    z_list, means, vars_, svecs, bvecs = [], [], [], [], []
+    z_list, o_list, means, vars_, svecs, bvecs = [], [], [], [], [], []
     for i in range(L):
         w2 = pack_kernel_odd(ws[i]) if odd else pack_kernel_flat(ws[i])
         svecs.append(s_vec); bvecs.append(b_vec)
-        z, stats = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd,
-                             valid_bounds=vb)
+        outs = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd,
+                         valid_bounds=vb, emit_act=store_o)
+        if store_o:
+            # the stored odd slab covers tile-owned BODY rows only, which is
+            # exactly what bwd's dW reads — no halo exchange needed for it
+            z, o, stats = outs
+            o_list.append(o)
+        else:
+            z, stats = outs
         stats = lax.psum(stats, AXIS)  # sync-BN: exact global statistics
         m = fold_vec(stats[0]) / count
         v = fold_vec(stats[1]) / count - jnp.square(m)
@@ -147,8 +156,11 @@ def _fwd_local(ws, gammas, betas, a1_loc, *, g, H_true, n_shards,
 
     zf = z_list[-1].astype(jnp.float32)
     a_out = from_flat(jnp.maximum(zf * s_vec + b_vec, 0.0), g)
-    return (a_out, jnp.stack(means), jnp.stack(vars_), a_flat,
-            jnp.stack(z_list), jnp.stack(svecs), jnp.stack(bvecs))
+    out = (a_out, jnp.stack(means), jnp.stack(vars_), a_flat,
+           jnp.stack(z_list), jnp.stack(svecs), jnp.stack(bvecs))
+    if store_o:
+        out += (jnp.stack(o_list),)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -156,9 +168,12 @@ def _fwd_local(ws, gammas, betas, a1_loc, *, g, H_true, n_shards,
 
 
 def _bwd_local(ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means,
-               vars_, da_out_loc, *, g, H_true, n_shards, store_dtype):
+               vars_, da_out_loc, *o_stack_opt, g, H_true, n_shards,
+               store_dtype, conv=None):
     L = ws.shape[0]
-    odd = bwd_odd()
+    odd = bwd_odd(conv)
+    store_o = store_odd_act(conv)
+    o_stack = o_stack_opt[0] if store_o else None
     count = float(2 * H_true * g.W2)
     vb = _valid_bounds(g, H_true, n_shards)
 
@@ -201,7 +216,8 @@ def _bwd_local(ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means,
         zprev = z_stack[i - 1] if i > 0 else a_flat
         da, dw2, stats = bwd_layer(gx, z_stack[i], zprev, w2t, vecs, g,
                                    first_layer=(i == 0), odd=odd,
-                                   valid_bounds=vb)
+                                   valid_bounds=vb,
+                                   o_flat=o_stack[i] if store_o else None)
         dw2 = lax.psum(dw2, AXIS)
         dws[i] = fold_dw6(dw2) if odd else fold_dw2(dw2)
         dgammas[i] = dgamma
@@ -222,68 +238,82 @@ def _bwd_local(ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means,
 # the differentiable sharded mid-stack
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def fused_mid_stack_spatial(ws, gammas, betas, a1, H_true, tile_h,
-                            store_dtype, mesh):
+                            store_dtype, mesh, conv=None):
     """H-sharded (conv3x3 + BatchNorm(train) + ReLU)^L on the fused engine.
 
     ws: (L, 3, 3, 64, 64) f32; gammas/betas: (L, 64) f32;
     a1: (1, Hp, W2, 128) packed stack input, Hp = pad_h(H, D, tile_h) rows
     (rows >= H_true are ignored: masked from statistics, garbage past them
     is the caller's to crop);
-    mesh: a Mesh with a ``space`` axis (other axes must be trivial here).
+    mesh: a Mesh with a ``space`` axis (other axes must be trivial here);
+    conv: formulation override (fused_stack.conv_mode).
 
     Returns (a_out (1, Hp, W2, 128) f32, means (L, 64), vars (L, 64)) with
     single-chip fused_mid_stack semantics (exact global BN statistics).
     """
     out, _ = _fused_fwd_spatial(ws, gammas, betas, a1, H_true, tile_h,
-                                store_dtype, mesh)
+                                store_dtype, mesh, conv)
     return out
 
 
 def _fused_fwd_spatial(ws, gammas, betas, a1, H_true, tile_h, store_dtype,
-                       mesh):
+                       mesh, conv=None):
     from jax.sharding import PartitionSpec as P
 
     D = mesh.shape[AXIS]
     _, Hp, W2, _ = a1.shape
     g = _local_geom(Hp, W2, tile_h, D)
+    store_o = store_odd_act(conv)
 
+    out_specs = (P(None, AXIS, None, None), P(), P(),
+                 P(AXIS, None), P(None, AXIS, None), P(), P())
+    if store_o:
+        out_specs += (P(None, AXIS, None),)
     fn = jax.shard_map(
         partial(_fwd_local, g=g, H_true=H_true, n_shards=D,
-                store_dtype=store_dtype),
+                store_dtype=store_dtype, conv=conv),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(None, AXIS, None, None)),
-        out_specs=(P(None, AXIS, None, None), P(), P(),
-                   P(AXIS, None), P(None, AXIS, None), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
-    a_out, means, vars_, a_flat, z_stack, svecs, bvecs = fn(
-        ws, gammas, betas, a1)
-    res = (ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means, vars_)
+    outs = fn(ws, gammas, betas, a1)
+    a_out, means, vars_, a_flat, z_stack, svecs, bvecs = outs[:7]
+    o_stack = outs[7] if store_o else None
+    res = (ws, gammas, betas, a_flat, z_stack, o_stack, svecs, bvecs,
+           means, vars_)
     return (a_out, means, vars_), res
 
 
-def _fused_bwd_spatial(H_true, tile_h, store_dtype, mesh, res, cts):
+def _fused_bwd_spatial(H_true, tile_h, store_dtype, mesh, conv, res, cts):
     from jax.sharding import PartitionSpec as P
 
     da_out, _dm, _dv = cts  # stat cotangents are zero (stop_gradient updates)
-    ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means, vars_ = res
+    (ws, gammas, betas, a_flat, z_stack, o_stack, svecs, bvecs, means,
+     vars_) = res
     D = mesh.shape[AXIS]
     _, Hp, W2, _ = da_out.shape
     g = _local_geom(Hp, W2, tile_h, D)
+    store_o = store_odd_act(conv)
 
+    in_specs = (P(), P(), P(), P(AXIS, None), P(None, AXIS, None),
+                P(), P(), P(), P(), P(None, AXIS, None, None))
+    ins = [ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means,
+           vars_, da_out]
+    if store_o:
+        in_specs += (P(None, AXIS, None),)
+        ins.append(o_stack)
     fn = jax.shard_map(
         partial(_bwd_local, g=g, H_true=H_true, n_shards=D,
-                store_dtype=store_dtype),
+                store_dtype=store_dtype, conv=conv),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(AXIS, None), P(None, AXIS, None),
-                  P(), P(), P(), P(), P(None, AXIS, None, None)),
+        in_specs=in_specs,
         out_specs=(P(), P(), P(), P(None, AXIS, None, None)),
         check_vma=False,
     )
-    return fn(ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means,
-              vars_, da_out)
+    return fn(*ins)
 
 
 fused_mid_stack_spatial.defvjp(_fused_fwd_spatial, _fused_bwd_spatial)
@@ -294,15 +324,15 @@ fused_mid_stack_spatial.defvjp(_fused_fwd_spatial, _fused_bwd_spatial)
 
 
 def _eval_local(ws, svecs, bvecs, a1_loc, *, g, H_true, n_shards,
-                store_dtype):
+                store_dtype, conv=None):
     L = ws.shape[0]
-    odd = fwd_odd()
+    odd = fwd_odd(conv)
     vb = _valid_bounds(g, H_true, n_shards)
     cur = _exchange(to_flat(a1_loc.astype(store_dtype), g), g, n_shards)
     for i in range(L):
         w2 = pack_kernel_odd(ws[i]) if odd else pack_kernel_flat(ws[i])
-        cur, _ = fwd_layer(cur, w2, svecs[i], bvecs[i], g, odd=odd,
-                           valid_bounds=vb)
+        cur, = fwd_layer(cur, w2, svecs[i], bvecs[i], g, odd=odd,
+                         valid_bounds=vb, emit_stats=False)
         if i + 1 < L:
             cur = _exchange(cur, g, n_shards)
     a_out = from_flat(
@@ -311,7 +341,7 @@ def _eval_local(ws, svecs, bvecs, a1_loc, *, g, H_true, n_shards,
 
 
 def eval_mid_stack_spatial(ws, svecs, bvecs, a1, H_true, tile_h,
-                           store_dtype, mesh):
+                           store_dtype, mesh, conv=None):
     """H-sharded eval-mode mid-stack: per-layer affines precomputed from
     RUNNING statistics (svecs/bvecs (L+1, 128): entry i is applied to layer
     i's *input*, entry 0 = identity, entry L = the final affine)."""
@@ -322,7 +352,7 @@ def eval_mid_stack_spatial(ws, svecs, bvecs, a1, H_true, tile_h,
     g = _local_geom(Hp, W2, tile_h, D)
     fn = jax.shard_map(
         partial(_eval_local, g=g, H_true=H_true, n_shards=D,
-                store_dtype=store_dtype),
+                store_dtype=store_dtype, conv=conv),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(None, AXIS, None, None)),
         out_specs=P(None, AXIS, None, None),

@@ -56,10 +56,15 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def conv_mode():
-    """Conv formulation, F2F_CONV in {"hybrid", "odd", "even"}.
+def conv_mode(conv=None):
+    """Conv formulation in {"hybrid", "odd", "even"}.
 
-    The two formulations compute the exact same convolution:
+    Selection: the ``F2F_CONV`` env var when set (probe override), else the
+    ``conv`` argument threaded from the caller (``OnlineDenoiser(...,
+    conv_formulation=...)``), else "odd". ``F2F_ODD=0`` is a back-compat
+    alias for "even".
+
+    The formulations compute the exact same convolution:
 
     - **even** — the original pair-packed 9-dot form: each 3x3 tap is a
       (128, 128) matrix with half its 64x64 blocks zero (2x FLOP tax), but
@@ -70,36 +75,54 @@ def conv_mode():
       against O at pair -1, [[W2,W1],[0,W2]] at pair 0) instead of three
       half-dense ones — a 1.5x FLOP cut for one extra roll+select VPU pass.
 
-    Measured at 540p (v5e, current kernel): **odd wins both directions** and
-    is the default. fwd 0.789 vs 0.991 ms/layer even, bwd 1.136 odd vs 1.48
-    even; a hybrid (even fwd + odd bwd) was built and measured on the round-2
+    Measured at 540p (v5e, round 3): **odd wins both directions** and is the
+    default. fwd 0.789 vs 0.991 ms/layer even, bwd 1.136 odd vs 1.48 even;
+    a hybrid (even fwd + odd bwd) was built and measured on the round-2
     observation that the even forward was then faster (0.75) — with the
     current codegen it is not, and the hybrid step regresses 29.9 -> 31.3
     ms/iter. The options stay selectable for future A/B (kernel codegen has
-    already moved this ranking once). F2F_ODD=0 is a back-compat alias for
-    "even".
+    already moved this ranking once).
     """
+    env = os.environ.get("F2F_CONV")
+    if env is not None:
+        assert env in ("hybrid", "odd", "even"), env
+        return env
     if os.environ.get("F2F_ODD", "1") == "0":
         return "even"
-    mode = os.environ.get("F2F_CONV", "odd")
-    assert mode in ("hybrid", "odd", "even"), mode
-    return mode
+    if conv is not None:
+        assert conv in ("hybrid", "odd", "even"), conv
+        return conv
+    return "odd"
 
 
-def fwd_odd():
+def fwd_odd(conv=None):
     """Forward kernels use the odd-slab form (pack_kernel_odd)."""
-    return conv_mode() == "odd"
+    return conv_mode(conv) == "odd"
 
 
-def bwd_odd():
+def bwd_odd(conv=None):
     """Backward kernels use the odd-slab form (pack_kernel_odd_bwd)."""
-    return conv_mode() in ("odd", "hybrid")
+    return conv_mode(conv) in ("odd", "hybrid")
 
 
-def use_odd():
+def store_odd_act(conv=None):
+    """Round-4 VPU cut: when both directions run the odd form, the forward
+    kernels EMIT the odd activation slab they build anyway (one extra
+    astype-store per tile + a free DMA) and the backward kernels consume it
+    by DMA — dropping the backward's a_prev rebuild (upcast+fma+max+mask)
+    and its in-kernel odd-slab build (roll+roll+select), and shrinking the
+    z_prev read to the epilogue-only rows. Numerically exact: the MXU
+    multiplies operands in bf16 regardless, so the bf16 HBM round-trip of
+    the dW operand reproduces the old in-VMEM value bit-for-bit.
+    ``F2F_STORE_O=0`` reverts to the round-3 rebuild path for A/B."""
+    return (conv_mode(conv) == "odd"
+            and os.environ.get("F2F_STORE_O", "1") != "0")
+
+
+def use_odd(conv=None):
     """Legacy umbrella switch — kept for external probes; the pipeline
     itself selects per-direction via fwd_odd()/bwd_odd()."""
-    return conv_mode() != "even"
+    return conv_mode(conv) != "even"
 
 
 # ---------------------------------------------------------------------------
@@ -133,14 +156,26 @@ class Geom:
         self.valid_hi = self.n + H * self.wpad
         self.count = float(2 * H * W2)  # pixels per original channel
 
-    def bwd_scratch_bytes(self, store_bytes=2):
+    def bwd_scratch_bytes(self, store_bytes=2, conv=None):
         """VMEM scratch footprint of the backward kernel — MUST mirror
         ``bwd_layer``'s scratch_shapes (plus its dX partial accumulators and
         the odd-form derived slabs). ``can_fuse`` (models/fused_apply.py)
         guards on this so the estimate and the kernel cannot drift apart."""
         slab, n = self.slab, self.n
+        if store_odd_act(conv):
+            # stored-O path: zp shrinks to n epilogue rows, a_prev rebuild
+            # and its odd slab are replaced by the obf DMA + an upcast value
+            return (2 * 2 * slab * 128 * store_bytes  # g/zi slabs (x2 buffers)
+                    + 2 * n * 128 * store_bytes       # zp epilogue rows
+                    + 2 * n * 128 * store_bytes       # obf (stored odd act)
+                    + 2 * slab * 128 * 4              # dz slab, f32
+                    + slab * 128 * 4                  # odd slab of dz (value)
+                    + n * 128 * 4                     # oap upcast (value)
+                    + 6 * 128 * 128 * 4               # dw accumulator
+                    + 2 * n * 128 * store_bytes       # da output double buffer
+                    + 3 * n * 128 * 4)                # dX partial accumulators
         odd_extra = 0
-        if bwd_odd():
+        if bwd_odd(conv):
             # odd slab of dz (held value) + odd slab of a_prev
             odd_extra = slab * 128 * 4 + (n + ALIGN) * 128 * 4
         return (3 * 2 * slab * 128 * store_bytes  # g/zi/zp slabs (x2 buffers)
@@ -342,16 +377,21 @@ def _slab_dma(hbm, slabs, sems, j, slot, g):
 
 
 def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
-                *rest, g, odd, dyn_valid=False, stack=None):
+                *rest, g, odd, dyn_valid=False, stack=None, emit_act=False,
+                emit_stats=True):
+    rest = list(rest)
     if dyn_valid:
         # spatial sharding (ops/fused_spatial.py): the row-validity window is
         # shard-dependent, so it arrives as SMEM scalars instead of being
         # baked in — one compiled program serves every shard (SPMD)
-        vb_ref, z_out, stats_ref, zslab, aslab, sem = rest
+        vb_ref = rest.pop(0)
         valid_lo, valid_hi = vb_ref[0], vb_ref[1]
     else:
-        z_out, stats_ref, zslab, aslab, sem = rest
         valid_lo, valid_hi = g.valid_lo, g.valid_hi
+    z_out = rest.pop(0)
+    o_out = rest.pop(0) if emit_act else None
+    stats_ref = rest.pop(0) if emit_stats else None
+    zslab, aslab, sem = rest
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
 
@@ -372,13 +412,16 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
 
     @pl.when(i == 0)
     def _():
-        stats_ref[:] = jnp.zeros_like(stats_ref)
+        if emit_stats:
+            stats_ref[:] = jnp.zeros_like(stats_ref)
         # prefetch the first compute tile while this zero tile writes out
         _slab_dma(zprev_hbm, zslab, sem, 1, 1, g).start()
 
     @pl.when((i == 0) | (i == g.T + 1))
     def _():
         z_out[:] = jnp.zeros_like(z_out)
+        if emit_act:
+            o_out[:] = jnp.zeros_like(o_out)
 
     def compute(slot):
         # static parity: all refs statically addressed (see _bwd_kernel),
@@ -406,6 +449,11 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         if odd:
             os_ = _odd_slab(as_[:])
+            if emit_act:
+                # emit the odd activation slab this kernel built anyway: the
+                # backward consumes it by DMA instead of rebuilding a_prev +
+                # its odd slab (store_odd_act) — one astype-store per tile
+                o_out[:] = os_[off:off + n, :].astype(o_out.dtype)
             for t, sh in enumerate(g.odd_shifts):
                 xs = os_[off + sh:off + sh + n, :]
                 parts[t % 3] += lax.dot_general(
@@ -419,13 +467,14 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
                     preferred_element_type=jnp.float32)
         acc = parts[0] + parts[1] + parts[2]
         z_out[:] = acc.astype(z_out.dtype)
-        # stats over valid interior positions (pad cols masked; trailing
-        # H-pad rows produce acc==0 since their inputs were masked to 0,
-        # except boundary leakage rows — mask them too)
-        m = cmask_slab_ref[off:off + n, :] * valid[off:off + n, :]
-        zc = acc * m
-        stats_ref[0, :] += jnp.sum(zc, axis=0)
-        stats_ref[1, :] += jnp.sum(zc * acc, axis=0)
+        if emit_stats:
+            # stats over valid interior positions (pad cols masked; trailing
+            # H-pad rows produce acc==0 since their inputs were masked to 0,
+            # except boundary leakage rows — mask them too)
+            m = cmask_slab_ref[off:off + n, :] * valid[off:off + n, :]
+            zc = acc * m
+            stats_ref[0, :] += jnp.sum(zc, axis=0)
+            stats_ref[1, :] += jnp.sum(zc * acc, axis=0)
 
     for slot in (0, 1):
         @pl.when((i > 0) & (i < g.T + 1) & (lax.rem(i, 2) == slot))
@@ -439,7 +488,7 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
 
 
 def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
-              valid_bounds=None, stack=None):
+              valid_bounds=None, stack=None, emit_act=False, emit_stats=True):
     """One fused mid-layer forward pass over the flat layout.
 
     zprev_flat: ((T+2)*n, 128) bf16 — previous layer's raw conv output (or
@@ -453,11 +502,18 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
     spatially sharded pipeline where halo tiles hold real neighbor rows;
     stack: optional static (T_f, frame_h) — the body is a stack of frames
     of T_f tiles each with only the first frame_h rows real (batched
-    serving eval, models/fused_apply.fused_eval_apply_batch).
+    serving eval, models/fused_apply.fused_eval_apply_batch);
+    emit_act: also return the odd activation slab (store_odd_act path,
+    odd-mode training forward only);
+    emit_stats: accumulate and return the BN batch statistics — False for
+    eval-mode forwards (running stats), which skips the per-tile stat
+    masking/reductions entirely (the round-3 verdict's stats-free variant).
 
-    Returns (z_flat bf16, stats (2, 128) f32 = (sum z, sum z^2) per lane).
+    Returns z_flat bf16, then (if emit_act) o_flat, then (if emit_stats)
+    stats (2, 128) f32 = (sum z, sum z^2) per lane.
     """
     assert not (stack is not None and valid_bounds is not None)
+    assert not (emit_act and not odd), "store_odd_act requires the odd form"
     ntap = 6 if odd else 9
     assert w2_flat.shape[0] == ntap, (w2_flat.shape, odd)
     # a single (slab, 1) column mask is exact for BOTH lane halves of the odd
@@ -481,19 +537,26 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ins.append(jnp.asarray(valid_bounds, jnp.int32))
 
-    z_flat, stats = pl.pallas_call(
-        partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn, stack=stack),
+    out_specs = [pl.BlockSpec((g.n, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((g.tot, 128), zprev_flat.dtype)]
+    if emit_act:
+        out_specs.append(pl.BlockSpec((g.n, 128), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((g.tot, 128),
+                                              zprev_flat.dtype))
+    if emit_stats:
+        out_specs.append(pl.BlockSpec((2, 128), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((2, 128), jnp.float32))
+
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn, stack=stack,
+                emit_act=emit_act, emit_stats=emit_stats),
         grid=(g.T + 2,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((g.n, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((g.tot, 128), zprev_flat.dtype),
-            jax.ShapeDtypeStruct((2, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, g.slab, 128), zprev_flat.dtype),
             pltpu.VMEM((2, g.slab, 128), jnp.float32),
@@ -503,30 +566,52 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
-    return z_flat, stats
+    return outs if isinstance(outs, (tuple, list)) else (outs,)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 
 
-def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
-                *rest, g, first_layer, odd, dyn_valid=False):
+def _body_dma(hbm, dst, sems, j, slot, g, rows):
+    """Copy descriptor for tile j's BODY rows [j*n, j*n + rows) (no halo)."""
+    return pltpu.make_async_copy(
+        hbm.at[pl.ds(j * g.n, rows)], dst.at[slot], sems.at[slot])
+
+
+def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
+                dyn_valid=False, stored_o=False):
+    rest = list(rest)
+    o_hbm = rest.pop(0) if stored_o else None
+    w2t_ref, vecs_ref, cmask_slab_ref = rest[:3]
+    rest = rest[3:]
     if dyn_valid:
-        (vb_ref, da_out, dw2_ref, stats_ref, gslab, zislab, zpslab, dzslab,
-         apslab, sem_g, sem_zi, sem_zp) = rest
+        vb_ref = rest.pop(0)
         valid_lo, valid_hi = vb_ref[0], vb_ref[1]
+    else:
+        valid_lo, valid_hi = g.valid_lo, g.valid_hi
+    if stored_o:
+        (da_out, dw2_ref, stats_ref, gslab, zislab, zpslab, dzslab,
+         oslab, sem_g, sem_zi, sem_zp, sem_o) = rest
     else:
         (da_out, dw2_ref, stats_ref, gslab, zislab, zpslab, dzslab,
          apslab, sem_g, sem_zi, sem_zp) = rest
-        valid_lo, valid_hi = g.valid_lo, g.valid_hi
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
 
     def dmas(j, slot):
-        return (_slab_dma(g_hbm, gslab, sem_g, j, slot, g),
-                _slab_dma(zi_hbm, zislab, sem_zi, j, slot, g),
-                _slab_dma(zp_hbm, zpslab, sem_zp, j, slot, g))
+        cps = [_slab_dma(g_hbm, gslab, sem_g, j, slot, g),
+               _slab_dma(zi_hbm, zislab, sem_zi, j, slot, g)]
+        if stored_o:
+            # stored-O path: the dW operand arrives prebuilt (body rows
+            # only), and z_prev is needed only for the BN-backward epilogue
+            # (body rows; skipped entirely on the first layer)
+            cps.append(_body_dma(o_hbm, oslab, sem_o, j, slot, g, n))
+            if not first_layer:
+                cps.append(_body_dma(zp_hbm, zpslab, sem_zp, j, slot, g, n))
+        else:
+            cps.append(_slab_dma(zp_hbm, zpslab, sem_zp, j, slot, g))
+        return cps
 
     @pl.when(i == 0)
     def _():
@@ -545,7 +630,7 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         # (Mosaic falls off the vectorized path); the price is two copies of
         # the body (one per parity)
         gs, zis, zps = gslab.at[slot], zislab.at[slot], zpslab.at[slot]
-        dzs, aps = dzslab.at[slot], apslab.at[slot]
+        dzs = dzslab.at[slot]
         start = (i * (n // ALIGN) - off // ALIGN) * ALIGN
         # vecs rows (prefolded on the host so dz is one fma chain):
         # 0 A = gamma_i*rstd_i (also the ReLU-mask scale), 1 b_i,
@@ -588,10 +673,35 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
         acc = parts[0] + parts[1] + parts[2]
         da_out[:] = acc.astype(da_out.dtype)
 
+        if stored_o:
+            # dW operand: the odd activation slab the forward stored —
+            # upcast only (the round-3 path rebuilt a_prev with
+            # upcast+fma+max+mask and its odd slab with roll+roll+select
+            # here, per element per tile; store_odd_act moves all of it to
+            # one astype-store in the forward)
+            oap = oslab[slot][:].astype(jnp.float32)
+            for t, sh in enumerate(g.odd_shifts):
+                dsl = dzs[off - sh:off - sh + n, :]
+                dw2_ref[t] += lax.dot_general(
+                    oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            if not first_layer:
+                # epilogue: BN-backward reductions for layer i-1 — needs the
+                # even-layout a_prev mask and zhat_prev, from z_prev body rows
+                zpc = zps[:].astype(jnp.float32)
+                m = (cmask_slab_ref[off:off + n, :] * valid[off:off + n, :])
+                ap_pos = ((zpc * v[4, :] + v[5, :]) > 0.0).astype(jnp.float32)
+                gp = acc * ap_pos * m
+                zhp = zpc * v[6, :] + v[7, :]
+                stats_ref[0, :] += jnp.sum(gp, axis=0)
+                stats_ref[1, :] += jnp.sum(gp * zhp, axis=0)
+            return
+
         # dW needs a_prev = relu(affine_prev(z_prev)) on interior rows only:
         # sum_m a[m+s] dz[m] is re-indexed as sum_m a[m] dz[m-s], which is
         # globally equivalent under the tile accumulation and lets the a
         # scratch drop its halo (dz already has one)
+        aps = apslab.at[slot]
         zpc = zps[off:off + n + ALIGN, :].astype(jnp.float32)
         aps[:] = (jnp.maximum(zpc * v[4, :] + v[5, :], 0.0)
                   * vm[off:off + n + ALIGN, :])
@@ -636,7 +746,7 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, w2t_ref, vecs_ref, cmask_slab_ref,
 
 
 def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
-              first_layer=False, odd=False, valid_bounds=None):
+              first_layer=False, odd=False, valid_bounds=None, o_flat=None):
     """One fused mid-layer backward pass.
 
     g_flat: cotangent of a_i (this layer's post-ReLU output) in flat layout;
@@ -647,13 +757,18 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
     ``odd``;
     vecs: (8, 128) f32 prefolded per-channel vectors (see kernel comment);
     valid_bounds: optional (2,) int32 dynamic row-validity window (see
-    ``fwd_layer``).
+    ``fwd_layer``);
+    o_flat: optional stored odd activation slab of a_prev (the forward's
+    ``emit_act`` output, store_odd_act path; odd mode only) — replaces the
+    in-kernel a_prev rebuild for dW.
 
     Returns (da_prev_flat bf16, dw (ntap,128,128) f32 — fold with fold_dw2
     or fold_dw6 per mode — and stats_prev (2,128) f32).
     """
     ntap = 6 if odd else 9
     assert w2t_flat.shape[0] == ntap, (w2t_flat.shape, odd)
+    stored_o = o_flat is not None
+    assert not (stored_o and not odd), "stored-O path requires the odd form"
     _, cmask_slab = _col_mask(g)
     dyn = valid_bounds is not None
 
@@ -661,6 +776,12 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    ins = [g_flat, zi_flat, zprev_flat]
+    if stored_o:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        ins.append(o_flat)
+    in_specs += [
             pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -668,15 +789,41 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
     ]
-    ins = [g_flat, zi_flat, zprev_flat, w2t_flat.astype(g_flat.dtype), vecs,
-           cmask_slab]
+    ins += [w2t_flat.astype(g_flat.dtype), vecs, cmask_slab]
     if dyn:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ins.append(jnp.asarray(valid_bounds, jnp.int32))
 
+    if stored_o:
+        # zp shrinks to the epilogue's body rows (dummy-sized on the first
+        # layer, whose epilogue is skipped and zp never DMA'd or read)
+        zp_rows = ALIGN if first_layer else g.n
+        scratch_shapes = [
+            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),     # g
+            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),     # zi
+            pltpu.VMEM((2, zp_rows, 128), g_flat.dtype),    # zp (epilogue)
+            pltpu.VMEM((2, g.slab, 128), jnp.float32),      # dz
+            pltpu.VMEM((2, g.n, 128), o_flat.dtype),        # stored O
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
+            pltpu.VMEM((2, g.slab, 128), jnp.float32),
+            pltpu.VMEM((2, g.n + ALIGN, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     da, dw2, stats = pl.pallas_call(
         partial(_bwd_kernel, g=g, first_layer=first_layer, odd=odd,
-                dyn_valid=dyn),
+                dyn_valid=dyn, stored_o=stored_o),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=[
@@ -691,16 +838,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             jax.ShapeDtypeStruct((ntap, 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((2, 128), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
-            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
-            pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
-            pltpu.VMEM((2, g.slab, 128), jnp.float32),
-            pltpu.VMEM((2, g.n + ALIGN, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -723,38 +861,46 @@ def _io_t(w2_flat):
     return w2_flat.transpose(0, 2, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_mid_stack(ws, gammas, betas, a1, H, tile_h,
-                    store_dtype=jnp.bfloat16):
+                    store_dtype=jnp.bfloat16, conv=None):
     """(conv3x3 + BatchNorm(train) + ReLU) ^ L over pair-packed activations.
 
     ws: (L, 3, 3, 64, 64) f32; gammas/betas: (L, 64) f32;
-    a1: (1, H, W2, 128) packed post-ReLU stack input (W2 = W/2).
+    a1: (1, H, W2, 128) packed post-ReLU stack input (W2 = W/2);
+    conv: formulation override (see conv_mode; env F2F_CONV wins).
     Returns (a_out (1, H, W2, 128) f32, means (L, 64), vars (L, 64)).
 
     Semantics match the per-layer reference chain (net.py:13-22, torch
     BatchNorm2d train mode: biased variance, eps=1e-5). Activations are
     stored bf16 between layers (the established bf16-chain accuracy mode).
     """
-    out, _ = _fused_fwd(ws, gammas, betas, a1, H, tile_h, store_dtype)
+    out, _ = _fused_fwd(ws, gammas, betas, a1, H, tile_h, store_dtype, conv)
     return out
 
 
 def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
-               store_dtype=jnp.bfloat16):
+               store_dtype=jnp.bfloat16, conv=None):
     L = ws.shape[0]
-    odd = fwd_odd()
+    odd = fwd_odd(conv)
+    store_o = store_odd_act(conv)
     g = Geom(H, a1.shape[2], tile_h)
     a_flat = to_flat(a1.astype(store_dtype), g)
 
     cur = a_flat
     s_vec = jnp.ones((128,), jnp.float32)
     b_vec = jnp.zeros((128,), jnp.float32)
-    z_list, means, vars_, svecs, bvecs = [], [], [], [], []
+    z_list, o_list, means, vars_, svecs, bvecs = [], [], [], [], [], []
     for i in range(L):
         w2 = pack_kernel_odd(ws[i]) if odd else pack_kernel_flat(ws[i])
         svecs.append(s_vec); bvecs.append(b_vec)
-        z, stats = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd)
+        outs = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd,
+                         emit_act=store_o)
+        if store_o:
+            z, o, stats = outs
+            o_list.append(o)
+        else:
+            z, stats = outs
         m = fold_vec(stats[0]) / g.count
         v = fold_vec(stats[1]) / g.count - jnp.square(m)
         s64, b64, _ = _affine_from_stats(m, v, gammas[i], betas[i])
@@ -769,16 +915,17 @@ def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
     zf = z_list[-1].astype(jnp.float32)
     a_out = from_flat(jnp.maximum(zf * s_vec + b_vec, 0.0), g)
     means = jnp.stack(means); vars_ = jnp.stack(vars_)
-    res = (ws, gammas, betas, a_flat, tuple(z_list),
+    res = (ws, gammas, betas, a_flat, tuple(z_list), tuple(o_list),
            jnp.stack(svecs), jnp.stack(bvecs), means, vars_)
     return (a_out, means, vars_), res
 
 
-def _fused_bwd(H, tile_h, store_dtype, res, cts):
+def _fused_bwd(H, tile_h, store_dtype, conv, res, cts):
     da_out, _dm, _dv = cts  # stat cotangents are zero (stop_gradient updates)
-    ws, gammas, betas, a_flat, z_list, svecs, bvecs, means, vars_ = res
+    ws, gammas, betas, a_flat, z_list, o_list, svecs, bvecs, means, vars_ = res
     L = ws.shape[0]
-    odd = bwd_odd()
+    odd = bwd_odd(conv)
+    store_o = store_odd_act(conv)
     g = Geom(H, da_out.shape[2], tile_h)
 
     # cotangent of z_L through the final BN+ReLU, reduced in FLAT space (the
@@ -818,7 +965,8 @@ def _fused_bwd(H, tile_h, store_dtype, res, cts):
                else _io_t(pack_kernel_flat(ws[i])))
         zprev = z_list[i - 1] if i > 0 else a_flat
         da, dw2, stats = bwd_layer(g_flat, z_list[i], zprev, w2t, vecs, g,
-                                   first_layer=(i == 0), odd=odd)
+                                   first_layer=(i == 0), odd=odd,
+                                   o_flat=o_list[i] if store_o else None)
         dws[i] = fold_dw6(dw2) if odd else fold_dw2(dw2)
         dgammas[i] = dgamma
         dbetas[i] = dbeta
@@ -832,5 +980,6 @@ def _fused_bwd(H, tile_h, store_dtype, res, cts):
 
 
 fused_mid_stack.defvjp(
-    lambda ws, g, b, a1, H, th, sd: _fused_fwd(ws, g, b, a1, H, th, sd),
+    lambda ws, g, b, a1, H, th, sd, cv: _fused_fwd(ws, g, b, a1, H, th, sd,
+                                                   cv),
     _fused_bwd)

@@ -144,10 +144,15 @@ class TrainModule:
         on from ``flow_epoch`` onwards (the reference's update_flow
         semantics, lightning.py:163-167).
 
-        NB the ``flow_epoch > 0`` guard is the reference's own: update_flow
-        bails on ``flow_epoch <= 0``, so ``flow_from_end >= nepochs`` (or an
-        explicit flow_epoch=0) never switches flow on — replicated here
-        deliberately, quirk included."""
+        NB in the reference, update_flow's body is entirely COMMENTED OUT —
+        flow_from_end sets flow_epoch (lightning.py:118,157-161) and then
+        nothing ever flips flow on, so strictly the reference never activates
+        it. This implements the method's evident intent (the un-commented
+        epoch >= flow_epoch switch); a strict-parity caller should leave
+        flow_from_end/flow_epoch unset. The ``flow_epoch > 0`` guard is the
+        reference's own: update_flow bails on ``flow_epoch <= 0``, so
+        ``flow_from_end >= nepochs`` (or an explicit flow_epoch=0) never
+        switches flow on — replicated deliberately, quirk included."""
         c = self.cfg
         flow = bool(c.flow)
         if c.flow_epoch is not None and c.flow_epoch > 0 and epoch >= c.flow_epoch:
@@ -263,7 +268,7 @@ class TrainModule:
 
     # -- training step --
 
-    def _jit_step_key(self, epoch, step):
+    def _jit_step_key(self, state, epoch, step):
         """Cache key of the compile-time values the loss derives from
         (epoch, step); None means the config needs per-step recompilation
         (a smoothly decaying per-step knob) so the eager path must run.
@@ -274,7 +279,10 @@ class TrainModule:
         changes (rare: the schedules quantize through int(round(.)))."""
         c = self.cfg
         name = c.crit_name
-        key = [name]
+        # key on the captured closure identities too: _build_jit_step bakes
+        # in state.apply_fn/tx/residual, so a NEW TrainState (different
+        # model or optimizer) must not silently reuse the stale program
+        key = [name, id(state.apply_fn), id(state.tx), state.residual]
         if name == "stnls":
             if c.search_input == "interp":
                 return None  # alpha = alpha_scale**step decays every step
@@ -341,7 +349,7 @@ class TrainModule:
                                        self.use_flow(epoch),
                                        ftype=c.flow_method)
 
-        jkey = self._jit_step_key(epoch, int(state.step))
+        jkey = self._jit_step_key(state, epoch, int(state.step))
         if jkey is not None:
             if jkey != self._jit_key:
                 self._jit_fn = self._build_jit_step(state, epoch,

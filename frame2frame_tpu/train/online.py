@@ -42,7 +42,7 @@ def torch_adam(lr, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-8):
     return optax.chain(*parts)
 
 
-def make_denoise(model, residual_model=False, spatial_mesh=None):
+def make_denoise(model, residual_model=False, spatial_mesh=None, conv=None):
     """Build ``denoise(variables, x, train) -> deno[, new_batch_stats]`` for a
     single (H, W, C) frame, routing through the fused Pallas layer pipeline
     (ops/fused_stack.py) when the model/backend/geometry allow it.
@@ -50,7 +50,9 @@ def make_denoise(model, residual_model=False, spatial_mesh=None):
     This is the single denoise path shared by the online fine-tune step and
     the inference-only (serving) path; ``residual_model`` says whether the
     model returns the denoised image directly (harness convention) or the
-    noise (submodule convention, blind_denoising.py:218 subtracts)."""
+    noise (submodule convention, blind_denoising.py:218 subtracts);
+    ``conv`` selects the fused conv formulation (fused_stack.conv_mode —
+    the F2F_CONV env var stays available as a probe override)."""
 
     def _use_fused(x):
         # the fused Pallas pipeline (ops/fused_stack.py) carries the
@@ -76,7 +78,7 @@ def make_denoise(model, residual_model=False, spatial_mesh=None):
             D = spatial_mesh.shape["space"]
             Hp = pad_h(H, D, default_tile_h(W // 2))
             shape = (1, Hp // D) + x.shape[1:]
-        return can_fuse(model, shape)
+        return can_fuse(model, shape, conv=conv)
 
     def denoise(variables, x, train):
         if _use_fused(x):
@@ -88,19 +90,20 @@ def make_denoise(model, residual_model=False, spatial_mesh=None):
                 if spatial_mesh is not None:
                     y, new_bs = fused_train_apply_spatial(
                         model, variables["params"], variables["batch_stats"],
-                        x[None], spatial_mesh)
+                        x[None], spatial_mesh, conv=conv)
                 else:
                     y, new_bs = fused_train_apply(
                         model, variables["params"], variables["batch_stats"],
-                        x[None])
+                        x[None], conv=conv)
                 return (y[0] if residual_model else x - y[0]), new_bs
             if spatial_mesh is not None:
                 y = fused_eval_apply_spatial(
                     model, variables["params"], variables["batch_stats"],
-                    x[None], spatial_mesh)
+                    x[None], spatial_mesh, conv=conv)
             else:
                 y = fused_eval_apply(model, variables["params"],
-                                     variables["batch_stats"], x[None])
+                                     variables["batch_stats"], x[None],
+                                     conv=conv)
             return y[0] if residual_model else x - y[0]
         out = model.apply(variables, x[None], train=train,
                           mutable=["batch_stats"] if train else False)
@@ -113,7 +116,7 @@ def make_denoise(model, residual_model=False, spatial_mesh=None):
 
 
 def make_online_step(model, tx, iters=20, residual_model=False, unroll=None,
-                     spatial_mesh=None):
+                     spatial_mesh=None, conv=None):
     """Build the jitted per-frame program.
 
     step(params, batch_stats, opt_state, cur, prev, flow) ->
@@ -136,7 +139,7 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None,
     if unroll is None:
         unroll = jax.default_backend() == "cpu"
     denoise = make_denoise(model, residual_model=residual_model,
-                           spatial_mesh=spatial_mesh)
+                           spatial_mesh=spatial_mesh, conv=conv)
 
     @jax.jit
     def step(params, batch_stats, opt_state, cur, prev, flow):
@@ -243,7 +246,14 @@ class OnlineDenoiser:
     stream, one fused device program per frame."""
 
     def __init__(self, model, variables, lr=5e-5, weight_decay=1e-5, iters=20,
-                 residual_model=False):
+                 residual_model=False, conv_formulation=None,
+                 batch_route="stacked"):
+        """``conv_formulation``: fused conv form ("odd"/"even"/"hybrid",
+        fused_stack.conv_mode; None = default, F2F_CONV env overrides).
+        ``batch_route``: default ``denoise_batch`` route ("stacked" or
+        "perframe"; F2F_BATCH env overrides). Formulation and route are
+        baked into the engine's jitted programs — construct a new engine to
+        change them."""
         if jax.default_backend() == "tpu":
             # the fused Pallas pipeline takes minutes to compile cold; the
             # persistent cache makes warm process start-up near-instant
@@ -256,9 +266,13 @@ class OnlineDenoiser:
         self.tx = torch_adam(lr, weight_decay)
         self.opt_state = self.tx.init(self.params)
         self.iters = iters
+        self.conv_formulation = conv_formulation
+        self.batch_route = batch_route
         self._step = make_online_step(model, self.tx, iters=iters,
-                                      residual_model=residual_model)
-        _deno = make_denoise(model, residual_model=residual_model)
+                                      residual_model=residual_model,
+                                      conv=conv_formulation)
+        _deno = make_denoise(model, residual_model=residual_model,
+                             conv=conv_formulation)
         self._denoise_eval = jax.jit(
             lambda variables, x: _deno(variables, x, train=False))
         self._residual_model = residual_model
@@ -280,26 +294,45 @@ class OnlineDenoiser:
         no flow (blind_denoising.py:229-230 run standalone)."""
         return self._denoise_eval(self.variables, jnp.asarray(cur))
 
-    def denoise_batch(self, frames):
+    def denoise_batch(self, frames, route=None):
         """Inference-only denoise of a BATCH of frames (B, H, W, C).
 
-        Eval-mode BN makes frames independent, so two routes exist. The
-        default runs the whole batch through ONE fused kernel chain per
-        layer (models/fused_apply.fused_eval_apply_batch, exact frame
-        isolation via the in-kernel stack mask); ``F2F_BATCH=perframe``
-        instead slices the batch and dispatches the single-frame chain per
-        frame. Measured (v5e, 540p, B=8, batch handed as one device
-        array): stacked 36 fps vs per-frame 29 fps — slicing the batch and
+        Eval-mode BN makes frames independent, so two routes exist
+        (``route``; None = the engine's ``batch_route``; the F2F_BATCH env
+        var overrides both for probes):
+
+        - "stacked" (default): the whole batch through ONE fused kernel
+          chain per layer (models/fused_apply.fused_eval_apply_batch, exact
+          frame isolation via the in-kernel stack mask);
+        - "perframe": slice the batch and dispatch the single-frame chain
+          per frame.
+
+        Measured (v5e, 540p, B=8, batch handed as one device array):
+        stacked 36 fps vs per-frame 29 fps — slicing the batch and
         restacking the outputs costs more than the stack mask's extra
         per-element VPU work. A caller that already holds separate frames
         should loop ``denoise_only`` instead (80 fps: no slice/restack,
-        launches hidden by JAX async dispatch)."""
+        launches hidden by JAX async dispatch).
+
+        The stacked route falls back to per-frame when the stacked flat
+        layout would exceed the HBM feasibility guard
+        (models/fused_apply.can_fuse_batch) — big (B, H, W) batches degrade
+        to the chunked route instead of OOMing."""
         frames = jnp.asarray(frames)
-        if os.environ.get("F2F_BATCH") == "perframe":
+        route = os.environ.get("F2F_BATCH") or route or self.batch_route
+        assert route in ("stacked", "perframe"), route
+        if route == "stacked":
+            from ..models.fused_apply import can_fuse_batch
+
+            if not can_fuse_batch(self.model, tuple(frames.shape)):
+                route = "perframe"
+        if route == "perframe":
             return jnp.stack([self._denoise_eval(self.variables, f)
                               for f in frames])
         if self._denoise_batch is None:
             from ..models.fused_apply import can_fuse
+
+            conv = self.conv_formulation
 
             def _batched(variables, x):
                 use_fused = (
@@ -307,13 +340,14 @@ class OnlineDenoiser:
                     and (jax.default_backend() == "tpu"
                          or os.environ.get("F2F_FUSED") == "force")
                     and os.environ.get("F2F_FUSED") != "0"
-                    and can_fuse(self.model, (1,) + tuple(x.shape[1:])))
+                    and can_fuse(self.model, (1,) + tuple(x.shape[1:]),
+                                 conv=conv))
                 if use_fused:
                     from ..models.fused_apply import fused_eval_apply_batch
 
                     y = fused_eval_apply_batch(
                         self.model, variables["params"],
-                        variables["batch_stats"], x)
+                        variables["batch_stats"], x, conv=conv)
                 else:
                     y = self.model.apply(variables, x, train=False)
                 return y if self._residual_model else x - y

@@ -85,6 +85,22 @@ def probe_kernels(H, W):
         return lax.scan(body, 0.0, None, length=20)[0]
 
     @jax.jit
+    def run_fwd_emit(zprev, w2, s_vec, b_vec):
+        def body(c, _):
+            _, o, st = fwd_layer(zprev, w2, s_vec + c, b_vec, g, odd=True,
+                                 emit_act=True)
+            return c + st[0, 0] * 1e-12 + o[0, 0].astype(jnp.float32) * 1e-12, None
+        return lax.scan(body, 0.0, None, length=20)[0]
+
+    @jax.jit
+    def run_fwd_eval(zprev, w2, s_vec, b_vec):
+        def body(c, _):
+            z, = fwd_layer(zprev, w2, s_vec + c, b_vec, g, odd=f_odd,
+                           emit_stats=False)
+            return c + z[0, 0].astype(jnp.float32) * 1e-12, None
+        return lax.scan(body, 0.0, None, length=20)[0]
+
+    @jax.jit
     def run_bwd(gg, zi, zprev, w2, vecs):
         def body(c, _):
             _, dw2, _ = bwd_layer(gg, zi, zprev, w2, vecs + c * 1e-12, g,
@@ -92,11 +108,29 @@ def probe_kernels(H, W):
             return c + dw2[0, 0, 0] * 1e-12, None
         return lax.scan(body, 0.0, None, length=20)[0]
 
+    o_in = mk((g.tot, 128))
+
+    @jax.jit
+    def run_bwd_stored(gg, zi, zprev, o_in, w2, vecs):
+        def body(c, _):
+            _, dw2, _ = bwd_layer(gg, zi, zprev, w2, vecs + c * 1e-12, g,
+                                  odd=True, o_flat=o_in)
+            return c + dw2[0, 0, 0] * 1e-12, None
+        return lax.scan(body, 0.0, None, length=20)[0]
+
+    w2f6 = w2f if f_odd else mk((6, 128, 128))
+    w2b6 = w2b if b_odd else mk((6, 128, 128))
     for name, fn, args in [
             (f"fwd_layer[{'odd' if f_odd else 'even'}]", run_fwd,
              (zprev, w2f, s_vec, b_vec)),
+            ("fwd_layer[odd,emit_act]", run_fwd_emit,
+             (zprev, w2f6, s_vec, b_vec)),
+            (f"fwd_layer[{'odd' if f_odd else 'even'},eval]", run_fwd_eval,
+             (zprev, w2f, s_vec, b_vec)),
             (f"bwd_layer[{'odd' if b_odd else 'even'}]", run_bwd,
-             (gg, zi, zprev, w2b, vecs))]:
+             (gg, zi, zprev, w2b, vecs)),
+            ("bwd_layer[odd,stored_o]", run_bwd_stored,
+             (gg, zi, zprev, o_in, w2b6, vecs))]:
         o = fn(*args)
         float(np.asarray(o))
         t0 = time.perf_counter()

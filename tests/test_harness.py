@@ -721,7 +721,7 @@ def test_jitted_step_matches_eager(tiny_model):
     module = TrainModule(cfg, model, residual=True)
     tx, _ = make_optimizer(module.cfg)
     state = TrainState.create(model, variables, tx, residual=True)
-    assert module._jit_step_key(0, 0) is not None
+    assert module._jit_step_key(state, 0, 0) is not None
     state_j, m_j = module.training_step(state, batch, epoch=0, key=key)
     fn0 = module._jit_fn
     state_j2, _ = module.training_step(state_j, batch, epoch=0, key=key)
@@ -742,7 +742,7 @@ def test_jitted_step_matches_eager(tiny_model):
     cfg_i = Config(crit_name="stnls", nepochs=2, search_input="interp",
                    ntype="g", sigma=25, flow=False)
     module_i = TrainModule(cfg_i, model, residual=True)
-    assert module_i._jit_step_key(0, 0) is None
+    assert module_i._jit_step_key(state, 0, 0) is None
 
 
 def test_sim_model_unknown_module_raises(tiny_model):
