@@ -40,15 +40,45 @@ def pack_raw_bayer(raw):
     )
 
 
-def synthetic_video(seed, nframes=10, h=128, w=128, channels=1, shift=(1, 1)):
-    """Seeded moving smooth texture, (T, H, W, C) float32 in [0, 255]."""
+def synthetic_video(seed, nframes=10, h=128, w=128, channels=1, shift=(1, 1),
+                    texture="smooth"):
+    """Seeded moving texture, (T, H, W, C) float32 in [0, 255].
+
+    ``texture``:
+    - "smooth" (default): single-scale Gaussian-filtered noise — cheap, the
+      unit-test fixture;
+    - "mixed": multi-scale detail + hard edges (random step/disc structures)
+      — a richer clean-image manifold for production-scale pretraining
+      (scripts/accuracy_artifact.py), where a denoiser must learn to
+      preserve edges, not just smooth.
+    """
     from scipy.ndimage import gaussian_filter
 
     rng = np.random.default_rng(seed)
     dy, dx = shift
     pad = max(abs(dy), abs(dx)) * nframes + 4
-    base = gaussian_filter(rng.random((h + 2 * pad, w + 2 * pad)) * 255, 3.0)
-    base = 255 * (base - base.min()) / (base.max() - base.min())
+    Hp, Wp = h + 2 * pad, w + 2 * pad
+    if texture == "smooth":
+        base = gaussian_filter(rng.random((Hp, Wp)) * 255, 3.0)
+    else:
+        # multi-scale pink-ish noise...
+        base = np.zeros((Hp, Wp))
+        for s, amp in ((1.0, 0.5), (2.0, 1.0), (4.0, 2.0), (8.0, 4.0)):
+            base += amp * gaussian_filter(rng.standard_normal((Hp, Wp)), s)
+        # ...plus hard-edged structures (steps and discs)
+        yy, xx = np.mgrid[0:Hp, 0:Wp]
+        for _ in range(rng.integers(4, 9)):
+            kind = rng.integers(2)
+            lvl = rng.uniform(-6, 6)
+            if kind == 0:  # half-plane step at a random angle/offset
+                th = rng.uniform(0, np.pi)
+                c = rng.uniform(0.3, 0.7) * (Hp * np.sin(th) + Wp * np.cos(th))
+                base += lvl * (yy * np.sin(th) + xx * np.cos(th) > c)
+            else:  # disc
+                cy, cx = rng.uniform(0, Hp), rng.uniform(0, Wp)
+                r = rng.uniform(0.05, 0.3) * min(Hp, Wp)
+                base += lvl * ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r)
+    base = 255 * (base - base.min()) / max(base.max() - base.min(), 1e-9)
     frames = []
     for t in range(nframes):
         y0 = pad + dy * t
@@ -170,9 +200,11 @@ def _load_synthetic_split(cfg, split_seed):
     nframes = optional(cfg, "nframes_data", 10)
     h, w = optional(cfg, "isize_data", (128, 128))
     channels = optional(cfg, "channels", 1)
+    texture = optional(cfg, "texture", "smooth")
     names = [f"vid{i:02d}" for i in range(n)]
     makers = [
-        (lambda s: (lambda: synthetic_video(s, nframes, h, w, channels)))(
+        (lambda s: (lambda: synthetic_video(s, nframes, h, w, channels,
+                                            texture=texture)))(
             1000 * split_seed + i
         )
         for i in range(n)

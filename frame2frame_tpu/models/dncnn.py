@@ -293,6 +293,39 @@ def import_torch_state_dict(state_dict, num_layers=17):
     return {"params": params, "batch_stats": batch_stats}
 
 
+def export_torch_state_dict(variables, num_layers=17):
+    """Inverse of ``import_torch_state_dict``: flax variables -> a torch-style
+    state dict (numpy values, sequential ``dncnn.{idx}.*`` keys, OIHW conv
+    weights) loadable by the reference submodule's DnCNN
+    (blind_denoising.py:144-147). Used to hand OUR trained weights to the
+    torch CPU oracle for trajectory-deviation checks
+    (scripts/accuracy_artifact.py)."""
+    import numpy as np
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def conv_oihw(w):
+        return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+    sd = {"dncnn.0.weight": conv_oihw(params["conv_in"]["kernel"])}
+    L = num_layers
+    for i in range(L - 2):
+        ci = 2 + 3 * i
+        bi = ci + 1
+        sd[f"dncnn.{ci}.weight"] = conv_oihw(params[f"conv_{i}"]["kernel"])
+        sd[f"dncnn.{bi}.weight"] = np.asarray(params[f"bn_{i}"]["scale"])
+        sd[f"dncnn.{bi}.bias"] = np.asarray(params[f"bn_{i}"]["bias"])
+        sd[f"dncnn.{bi}.running_mean"] = np.asarray(
+            batch_stats[f"bn_{i}"]["mean"])
+        sd[f"dncnn.{bi}.running_var"] = np.asarray(
+            batch_stats[f"bn_{i}"]["var"])
+        sd[f"dncnn.{bi}.num_batches_tracked"] = np.asarray(0)
+    sd[f"dncnn.{2 + 3 * (L - 2)}.weight"] = conv_oihw(
+        params["conv_out"]["kernel"])
+    return sd
+
+
 def load_torch_checkpoint(path, num_layers=17):
     """Load a torch ``.pth`` DnCNN checkpoint into flax variables (CPU torch)."""
     import torch

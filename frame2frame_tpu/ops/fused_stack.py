@@ -679,7 +679,7 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # upcast+fma+max+mask and its odd slab with roll+roll+select
             # here, per element per tile; store_odd_act moves all of it to
             # one astype-store in the forward)
-            oap = oslab[slot][:].astype(jnp.float32)
+            oap = oslab.at[slot][:].astype(jnp.float32)
             for t, sh in enumerate(g.odd_shifts):
                 dsl = dzs[off - sh:off - sh + n, :]
                 dw2_ref[t] += lax.dot_general(
