@@ -51,15 +51,20 @@ import numpy as np
 
 REF_SECONDS_PER_FRAME = 3.85  # measured C flow (0.35) + FLOP-based CUDA finetune (3.5)
 
-H, W = 540, 960
+H = int(os.environ.get("F2F_BENCH_H", "540"))
+W = int(os.environ.get("F2F_BENCH_W", "960"))
 WARMUP_FRAMES = 2
 BENCH_FRAMES = int(os.environ.get("F2F_BENCH_FRAMES", "100"))
-ITERS = 20
+ITERS = int(os.environ.get("F2F_BENCH_ITERS", "20"))
 BENCH_1080P_FRAMES = int(os.environ.get("F2F_BENCH_1080P_FRAMES", "20"))
 
 # supervisor knobs
 CHILD_TIMEOUT_S = int(os.environ.get("F2F_BENCH_CHILD_TIMEOUT", "3600"))
 RETRY_DEADLINE_S = int(os.environ.get("F2F_BENCH_RETRY_DEADLINE", "900"))
+# the observed outage mode is a HANG at jax.devices() (the axon client waits
+# forever on a pool grant), not an error — so backend init gets its own,
+# much shorter watchdog than the full benchmark
+INIT_TIMEOUT_S = int(os.environ.get("F2F_BENCH_INIT_TIMEOUT", "240"))
 BACKOFFS_S = (5, 15, 30, 60, 60, 120, 120, 180)
 INIT_MARKER = "F2F_BENCH_DEVICES_OK"
 
@@ -274,6 +279,8 @@ def child_main():
 
     # secondary: 1080p streaming (BASELINE.json config 5)
     try:
+        if BENCH_1080P_FRAMES <= 0:
+            raise RuntimeError("disabled via F2F_BENCH_1080P_FRAMES")
         total_hd = WARMUP_FRAMES + BENCH_1080P_FRAMES + 1
         hd = _real_frames(1080, 1920, total_hd)
         if hd is None:
@@ -324,6 +331,49 @@ def _parse_result(stdout):
     return None
 
 
+def _run_child_watched():
+    """Run one --child attempt with a two-stage watchdog: INIT_TIMEOUT_S for
+    the backend-init marker to appear on stderr (a hung jax.devices() — the
+    observed axon outage mode — must not eat the whole retry budget), then
+    CHILD_TIMEOUT_S for the benchmark itself. Returns (stdout, error_desc)."""
+    import tempfile
+
+    with tempfile.TemporaryFile("w+") as fout, \
+            tempfile.TemporaryFile("w+") as ferr:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            stdout=fout, stderr=ferr, text=True)
+
+        def read(f):
+            f.flush()
+            f.seek(0)
+            return f.read()
+
+        t0 = time.monotonic()
+        init_ok = False
+        while proc.poll() is None:
+            elapsed = time.monotonic() - t0
+            if not init_ok and INIT_MARKER in read(ferr):
+                init_ok = True
+            if not init_ok and elapsed > INIT_TIMEOUT_S:
+                proc.kill()
+                proc.wait()
+                return read(fout), (
+                    f"backend init hang (no devices after {INIT_TIMEOUT_S}s); "
+                    f"stderr={read(ferr).strip()[-300:]}")
+            if elapsed > CHILD_TIMEOUT_S:
+                proc.kill()
+                proc.wait()
+                return read(fout), f"child timeout {CHILD_TIMEOUT_S}s"
+            time.sleep(2)
+        out, errtxt = read(fout), read(ferr)
+        if proc.returncode == 0 and _parse_result(out) is not None:
+            return out, ""
+        return out, (f"rc={proc.returncode} "
+                     f"init={'ok' if init_ok or INIT_MARKER in errtxt else 'FAILED'} "
+                     f"stderr={errtxt.strip()[-400:]}")
+
+
 def main():
     """Supervisor: run the benchmark in a fresh subprocess, retrying backend
     failures with backoff; ALWAYS print one JSON line and exit 0."""
@@ -333,23 +383,13 @@ def main():
     while True:
         attempt += 1
         _clear_stale_tpu_lock()
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S)
-            result = _parse_result(proc.stdout)
-            if proc.returncode == 0 and result is not None:
-                result.setdefault("detail", {})["bench_attempts"] = attempt
-                print(json.dumps(result))
-                return
-            init_ok = INIT_MARKER in proc.stderr
-            errors.append(
-                f"attempt {attempt}: rc={proc.returncode} "
-                f"init={'ok' if init_ok else 'FAILED'} "
-                f"stderr={proc.stderr.strip()[-400:]}")
-        except subprocess.TimeoutExpired:
-            errors.append(f"attempt {attempt}: child timeout "
-                          f"{CHILD_TIMEOUT_S}s")
+        out, err = _run_child_watched()
+        result = _parse_result(out)
+        if result is not None:
+            result.setdefault("detail", {})["bench_attempts"] = attempt
+            print(json.dumps(result))
+            return
+        errors.append(f"attempt {attempt}: {err}")
         elapsed = time.monotonic() - t_start
         if elapsed > RETRY_DEADLINE_S:
             break
