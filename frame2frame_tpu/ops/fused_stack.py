@@ -194,7 +194,14 @@ def default_tile_h(W2):
     production forward kernel 0.79 -> 1.13 ms/layer at 540p (despite a
     stripped-down experiment predicting ~10% gain — the extra slab VMEM at
     16 costs more than the halved per-tile overhead saves). 8 stays right.
+    The stored-O backward (round 4) freed several f32 slabs, so ``F2F_TILE_H``
+    exists as a probe override to re-rank (the round-3 verdict's task 2d).
     """
+    env = os.environ.get("F2F_TILE_H")
+    if env:
+        th = int(env)
+        assert (th * (W2 + 2)) % ALIGN == 0, (th, W2)
+        return th
     for th in (8, 16, 32):
         if (th * (W2 + 2)) % ALIGN == 0:
             return th

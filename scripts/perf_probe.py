@@ -46,7 +46,7 @@ def probe_step(impls, H, W, iters=20):
               f"({dt * 1000 / iters:.1f} ms/iter)")
 
 
-def probe_kernels(H, W):
+def probe_kernels(H, W, tile_h=None):
     import jax.numpy as jnp
     from jax import lax
 
@@ -62,7 +62,9 @@ def probe_kernels(H, W):
 
     f_odd, b_odd = fwd_odd(), bwd_odd()
 
-    g = Geom(H, W // 2, default_tile_h(W // 2))
+    th = tile_h or default_tile_h(W // 2)
+    print(f"-- kernels at tile_h={th} --")
+    g = Geom(H, W // 2, th)
     rng = np.random.default_rng(0)
 
     def mk(shape):
@@ -131,14 +133,18 @@ def probe_kernels(H, W):
              (gg, zi, zprev, w2b, vecs)),
             ("bwd_layer[odd,stored_o]", run_bwd_stored,
              (gg, zi, zprev, o_in, w2b6, vecs))]:
-        o = fn(*args)
-        float(np.asarray(o))
-        t0 = time.perf_counter()
-        for _ in range(3):
+        try:
             o = fn(*args)
-        float(np.asarray(o))
-        print(f"{name}: {(time.perf_counter() - t0) / 3 / 20 * 1000:.3f} "
-              f"ms/layer")
+            float(np.asarray(o))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                o = fn(*args)
+            float(np.asarray(o))
+            print(f"{name}: {(time.perf_counter() - t0) / 3 / 20 * 1000:.3f} "
+                  f"ms/layer", flush=True)
+        except Exception as e:  # e.g. VMEM overflow at a probed tile_h
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
 
 
 def probe_flow(H, W, K=8):
@@ -164,15 +170,27 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--impls", default="packed_bf16,fused")
     ap.add_argument("--hw", default="540x960")
+    ap.add_argument("--tile-h", default=None,
+                    help="comma list of tile heights for the kernel probe "
+                         "(default: the production default_tile_h)")
+    ap.add_argument("--kernels-only", action="store_true")
+    ap.add_argument("--step-only", action="store_true")
     args = ap.parse_args(argv)
     H, W = (int(v) for v in args.hw.split("x"))
 
     from frame2frame_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    probe_step(args.impls.split(","), H, W)
-    probe_kernels(H, W)
-    probe_flow(H, W)
+    if not args.kernels_only:
+        probe_step(args.impls.split(","), H, W)
+    if args.step_only:
+        return
+    ths = ([int(t) for t in args.tile_h.split(",")] if args.tile_h
+           else [None])
+    for th in ths:
+        probe_kernels(H, W, tile_h=th)
+    if not args.kernels_only:
+        probe_flow(H, W)
 
 
 if __name__ == "__main__":

@@ -330,7 +330,7 @@ def test_denoise_batch_route_argument():
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_denoise_batch_overbudget_falls_back():
+def test_denoise_batch_overbudget_falls_back(monkeypatch):
     """An over-HBM-budget (B, H, W) stacked batch FALLS BACK to the
     per-frame route instead of erroring/OOMing (round-3 verdict Weak #8:
     guard the stacked geometry like can_fuse guards the single frame)."""
@@ -338,6 +338,10 @@ def test_denoise_batch_overbudget_falls_back():
     from frame2frame_tpu.models.fused_apply import can_fuse_batch
     from frame2frame_tpu.train.online import OnlineDenoiser
 
+    # this test exercises the HBM-budget logic at a fixed geometry; pin the
+    # tile height so a F2F_TILE_H probe override (> this tiny H) can't turn
+    # the geometry precondition false
+    monkeypatch.delenv("F2F_TILE_H", raising=False)
     H, W = 12, 16
     model, variables = init_dncnn(jax.random.PRNGKey(4), channels=1,
                                   num_layers=4, conv_impl="packed",
