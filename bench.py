@@ -398,14 +398,25 @@ def main():
               f"({int(elapsed)}s elapsed)", file=sys.stderr, flush=True)
         time.sleep(backoff)
 
-    # all retries failed: best-effort JSON so the driver records evidence
-    print(json.dumps({
+    # all retries failed: best-effort JSON so the driver records evidence.
+    # value stays 0 (nothing was measured); quote the last committed
+    # bench_detail.json, clearly labeled, so the failure doesn't erase the
+    # provenance of previously captured numbers.
+    out = {
         "metric": "frames/sec end-to-end (flow+finetune+denoise) at 540p",
         "value": 0.0,
         "unit": "frames/sec",
         "vs_baseline": 0.0,
         "error": " | ".join(errors)[-1500:],
-    }))
+    }
+    try:
+        prior = json.loads(
+            (Path(__file__).resolve().parent / "bench_detail.json").read_text())
+        out["last_committed_result_not_this_run"] = {
+            k: prior.get(k) for k in ("value", "vs_baseline")}
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
