@@ -16,6 +16,8 @@ the BASELINE.json float-tolerance oracle).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -129,16 +131,74 @@ def fused_train_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16,
     return out, new_bs
 
 
+def _eval_impl(eval_impl=None):
+    """Eval-forward implementation in {"affine", "act"}.
+
+    - "affine" (default until the act variant is re-ranked on hardware):
+      activations chain as RAW conv outputs; each kernel applies the previous
+      layer's eval BN affine + ReLU + masking per element (stats-free
+      variant of the training kernel).
+    - "act": activations chain POST-activation; the eval BN scale is folded
+      into the conv weights and bias+ReLU+mask ride the epilogue — the
+      consumer's per-element work reduces to the odd-slab build
+      (fused_stack.fwd_layer_eval). F2F_EVAL_DTYPE in {bf16 (default), f32}
+      picks the chain storage (f32 trades 2x DMA for skipping the upcast).
+
+    The ``F2F_EVAL`` env var (probe override) wins over the argument.
+    """
+    env = os.environ.get("F2F_EVAL")
+    impl = env or eval_impl or "affine"
+    assert impl in ("affine", "act"), impl
+    return impl
+
+
+def _eval_chain_dtype():
+    return (jnp.float32 if os.environ.get("F2F_EVAL_DTYPE") == "f32"
+            else jnp.bfloat16)
+
+
+def _eval_layer_affine(params, batch_stats, i):
+    from ..ops.fused_stack import _affine_from_stats
+
+    return _affine_from_stats(
+        batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
+        params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])[:2]
+
+
+def _act_eval_mid_stack(model, params, batch_stats, a1, g, to_flat_fn,
+                        from_flat_fn, conv=None, stack=None):
+    """The act-space eval mid-stack shared by the single-frame and stacked
+    serving paths (see _eval_impl)."""
+    from ..ops.fused_stack import (
+        fwd_layer_eval,
+        fwd_odd,
+        pack_kernel_flat,
+        pack_kernel_odd,
+        tile_vec,
+    )
+
+    odd = fwd_odd(conv)
+    nmid = model.num_layers - 2
+    cur = to_flat_fn(a1.astype(_eval_chain_dtype()))
+    for i in range(nmid):
+        s64, b64 = _eval_layer_affine(params, batch_stats, i)
+        kern = params[f"conv_{i}"]["kernel"] * s64[None, None, None, :]
+        w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
+        cur, = fwd_layer_eval(cur, w2, tile_vec(b64), g, odd=odd, stack=stack)
+    return from_flat_fn(cur.astype(jnp.float32))
+
+
 def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16,
-                     conv=None):
+                     conv=None, eval_impl=None):
     """Eval-mode DnCNN forward on the fused pipeline (running statistics,
     no stat updates) — the final per-frame denoise (blind_denoising.py:229).
 
     Runs the STATS-FREE forward kernel variant (emit_stats=False): eval-mode
     BN uses running statistics, so the training kernel's per-tile batch-stat
     masking and reductions are dead work here — dropped entirely (the
-    round-3 verdict's stats-free eval kernel). Costs one extra Mosaic
-    program per geometry (persistent-compile-cache amortized).
+    round-3 verdict's stats-free eval kernel). ``eval_impl`` selects the
+    affine-chained vs act-chained kernels (see _eval_impl). Costs one extra
+    Mosaic program per geometry (persistent-compile-cache amortized).
     """
     from ..ops.fused_stack import (
         Geom,
@@ -162,27 +222,34 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16,
     tile_h = default_tile_h(W // 2)
     g = Geom(H, W // 2, tile_h)
 
-    cur = to_flat(a1.astype(store_dtype), g)
-    s_vec = jnp.ones((128,), jnp.float32)
-    b_vec = jnp.zeros((128,), jnp.float32)
-    for i in range(nmid):
-        kern = params[f"conv_{i}"]["kernel"]
-        w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
-        cur, = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd, emit_stats=False)
-        s64, b64, _ = _affine_from_stats(
-            batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
-            params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
-        s_vec, b_vec = tile_vec(s64), tile_vec(b64)
+    if _eval_impl(eval_impl) == "act":
+        a_out = _act_eval_mid_stack(
+            model, params, batch_stats, a1, g,
+            lambda a: to_flat(a, g), lambda f: from_flat(f, g), conv=conv)
+    else:
+        cur = to_flat(a1.astype(store_dtype), g)
+        s_vec = jnp.ones((128,), jnp.float32)
+        b_vec = jnp.zeros((128,), jnp.float32)
+        for i in range(nmid):
+            kern = params[f"conv_{i}"]["kernel"]
+            w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
+            cur, = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd,
+                             emit_stats=False)
+            s64, b64, _ = _affine_from_stats(
+                batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
+                params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
+            s_vec, b_vec = tile_vec(s64), tile_vec(b64)
 
-    a_out = from_flat(
-        jnp.maximum(cur.astype(jnp.float32) * s_vec + b_vec, 0.0), g)
+        a_out = from_flat(
+            jnp.maximum(cur.astype(jnp.float32) * s_vec + b_vec, 0.0), g)
     noise2 = end_conv(a_out, params["conv_out"]["kernel"])
     noise = unpack_image(noise2).astype(jnp.float32)
     return x - noise if model.residual else noise
 
 
 def fused_eval_apply_batch(model, params, batch_stats, x,
-                           store_dtype=jnp.bfloat16, conv=None):
+                           store_dtype=jnp.bfloat16, conv=None,
+                           eval_impl=None):
     """Eval-mode DnCNN forward over a BATCH of frames on the fused pipeline —
     the serving path (denoise many adapted frames / a whole clip at once).
 
@@ -230,21 +297,31 @@ def fused_eval_apply_batch(model, params, batch_stats, x,
     g = Geom(B * T_f * tile_h, W // 2, tile_h)
     stack = (T_f, H)
 
-    cur = to_flat_stack(a1.astype(store_dtype), g, T_f)
-    s_vec = jnp.ones((128,), jnp.float32)
-    b_vec = jnp.zeros((128,), jnp.float32)
-    for i in range(nmid):
-        kern = params[f"conv_{i}"]["kernel"]
-        w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
-        cur, = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd, stack=stack,
-                         emit_stats=False)
-        s64, b64, _ = _affine_from_stats(
-            batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
-            params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
-        s_vec, b_vec = tile_vec(s64), tile_vec(b64)
+    if _eval_impl(eval_impl) == "act":
+        # act-chained kernels also drop the per-tile in-dot stack mask: the
+        # producer's epilogue already zeroed the separator rows every halo
+        # reads, so operands need no masking at all
+        a_out = _act_eval_mid_stack(
+            model, params, batch_stats, a1, g,
+            lambda a: to_flat_stack(a, g, T_f),
+            lambda f: from_flat_stack(f, H, g, T_f), conv=conv, stack=stack)
+    else:
+        cur = to_flat_stack(a1.astype(store_dtype), g, T_f)
+        s_vec = jnp.ones((128,), jnp.float32)
+        b_vec = jnp.zeros((128,), jnp.float32)
+        for i in range(nmid):
+            kern = params[f"conv_{i}"]["kernel"]
+            w2 = pack_kernel_odd(kern) if odd else pack_kernel_flat(kern)
+            cur, = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd, stack=stack,
+                             emit_stats=False)
+            s64, b64, _ = _affine_from_stats(
+                batch_stats[f"bn_{i}"]["mean"], batch_stats[f"bn_{i}"]["var"],
+                params[f"bn_{i}"]["scale"], params[f"bn_{i}"]["bias"])
+            s_vec, b_vec = tile_vec(s64), tile_vec(b64)
 
-    a_out = from_flat_stack(
-        jnp.maximum(cur.astype(jnp.float32) * s_vec + b_vec, 0.0), H, g, T_f)
+        a_out = from_flat_stack(
+            jnp.maximum(cur.astype(jnp.float32) * s_vec + b_vec, 0.0),
+            H, g, T_f)
     noise2 = end_conv(a_out, params["conv_out"]["kernel"])
     noise = unpack_image(noise2).astype(jnp.float32)
     return x - noise if model.residual else noise

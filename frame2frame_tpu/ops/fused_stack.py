@@ -577,6 +577,129 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
 
 
 # ---------------------------------------------------------------------------
+# act-space eval forward (serving): eval-mode BatchNorm is a FIXED per-channel
+# affine (running statistics), so the scale folds into the conv weights
+# (out-channel scaling) and the bias+ReLU+masking ride the kernel's own
+# epilogue. Activations chain POST-activation between layers: the consumer
+# does no affine, no validity windowing of operands (its input is already
+# masked by the producer's epilogue), and for stacked serving no in-dot frame
+# mask at all — only the odd-slab build remains per element. This is the
+# round-4 VPU cut for the eval/serving paths (the training pipeline cannot do
+# this: the affine there depends on batch statistics computed in the very
+# kernel that produces the layer).
+
+
+def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
+                     stack=None, upcast=True):
+    rest = list(rest)
+    a_out = rest.pop(0)
+    if upcast:
+        land, fslab, sem = rest     # bf16 landing + f32 compute slab
+    else:
+        fslab, sem = rest           # f32 chain: the DMA lands compute-ready
+        land = fslab
+    i = pl.program_id(0)
+    n, off, slab = g.n, g.off, g.slab
+
+    @pl.when(i == 0)
+    def _():
+        _slab_dma(a_hbm, land, sem, 1, 1, g).start()
+
+    @pl.when((i == 0) | (i == g.T + 1))
+    def _():
+        a_out[:] = jnp.zeros_like(a_out)
+
+    def compute(slot):
+        if upcast:
+            fslab.at[slot][:] = land.at[slot][:].astype(jnp.float32)
+        src = fslab.at[slot]
+        parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
+        if odd:
+            os_ = _odd_slab(src[:])
+            for t, sh in enumerate(g.odd_shifts):
+                parts[t % 3] += lax.dot_general(
+                    os_[off + sh:off + sh + n, :], w2_ref[t],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            for t, sh in enumerate(g.shifts):
+                parts[t % 3] += lax.dot_general(
+                    src[off + sh:off + sh + n, :], w2_ref[t],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        acc = parts[0] + parts[1] + parts[2]
+        # epilogue: acc is already scale*conv (weights pre-scaled); finish the
+        # activation with bias + ReLU, and zero pad columns / H-pad rows /
+        # (stacked) separator rows so the NEXT layer needs no operand masking
+        pos = lax.broadcasted_iota(jnp.int32, (n, 1), 0) + i * n
+        vb = (pos >= g.valid_lo) & (pos < g.valid_hi)
+        if stack is not None:
+            # output tiles sit fully inside one frame block (frames are
+            # tile-aligned), so no halo wrap handling is needed here
+            T_f, frame_h = stack
+            rel = (lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                   + lax.rem(i - 1, T_f) * n)
+            vb = vb & (rel < frame_h * g.wpad)
+        m = vb.astype(jnp.float32) * cmask_ref[:]
+        a_out[:] = (jnp.maximum(acc + bvec_ref[0, :], 0.0)
+                    * m).astype(a_out.dtype)
+
+    for slot in (0, 1):
+        @pl.when((i > 0) & (i < g.T + 1) & (lax.rem(i, 2) == slot))
+        def _(slot=slot):
+            @pl.when(i < g.T)
+            def _():
+                _slab_dma(a_hbm, land, sem, i + 1, 1 - slot, g).start()
+
+            _slab_dma(a_hbm, land, sem, i, slot, g).wait()
+            compute(slot)
+
+
+def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None):
+    """One act-space eval mid-layer: a_i -> a_{i+1} (both post-activation).
+
+    a_flat: ((T+2)*n, 128) flat POST-activation input (bf16 or f32 chain —
+    an f32 chain skips the per-tile upcast at 2x the DMA volume; both are
+    measured A/B candidates since the DMA is hidden);
+    w2s_flat: packed taps of ``w * s[out]`` where s is the layer's eval BN
+    scale (gamma*rsqrt(running_var+eps)) — pack_kernel_odd or
+    pack_kernel_flat of the pre-scaled kernel;
+    b_vec: (128,) tiled eval BN shift (beta - mean*s).
+    Returns (a_next_flat,) with the same dtype as ``a_flat``.
+    """
+    ntap = 6 if odd else 9
+    assert w2s_flat.shape[0] == ntap, (w2s_flat.shape, odd)
+    cmask_tile, _ = _col_mask(g)
+    upcast = a_flat.dtype != jnp.float32
+    bvec = b_vec.astype(jnp.float32).reshape(1, 128)
+
+    scratch = [pltpu.VMEM((2, g.slab, 128), a_flat.dtype)]
+    if upcast:
+        scratch.append(pltpu.VMEM((2, g.slab, 128), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    out, = pl.pallas_call(
+        partial(_fwd_eval_kernel, g=g, odd=odd, stack=stack, upcast=upcast),
+        grid=(g.T + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((g.n, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((g.tot, 128), a_flat.dtype)],
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(a_flat, w2s_flat.astype(a_flat.dtype), bvec, cmask_tile)
+    return (out,)
+
+
+# ---------------------------------------------------------------------------
 # backward kernel
 
 

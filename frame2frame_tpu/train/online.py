@@ -80,7 +80,7 @@ def make_denoise(model, residual_model=False, spatial_mesh=None, conv=None):
             shape = (1, Hp // D) + x.shape[1:]
         return can_fuse(model, shape, conv=conv)
 
-    def denoise(variables, x, train):
+    def denoise(variables, x, train, eval_impl=None):
         if _use_fused(x):
             from ..models.fused_apply import (
                 fused_eval_apply, fused_eval_apply_spatial,
@@ -103,7 +103,7 @@ def make_denoise(model, residual_model=False, spatial_mesh=None, conv=None):
             else:
                 y = fused_eval_apply(model, variables["params"],
                                      variables["batch_stats"], x[None],
-                                     conv=conv)
+                                     conv=conv, eval_impl=eval_impl)
             return y[0] if residual_model else x - y[0]
         out = model.apply(variables, x[None], train=train,
                           mutable=["batch_stats"] if train else False)
@@ -247,13 +247,16 @@ class OnlineDenoiser:
 
     def __init__(self, model, variables, lr=5e-5, weight_decay=1e-5, iters=20,
                  residual_model=False, conv_formulation=None,
-                 batch_route="stacked"):
+                 batch_route="stacked", eval_impl=None):
         """``conv_formulation``: fused conv form ("odd"/"even"/"hybrid",
         fused_stack.conv_mode; None = default, F2F_CONV env overrides).
         ``batch_route``: default ``denoise_batch`` route ("stacked" or
-        "perframe"; F2F_BATCH env overrides). Formulation and route are
-        baked into the engine's jitted programs — construct a new engine to
-        change them."""
+        "perframe"; F2F_BATCH env overrides). ``eval_impl``: serving eval
+        kernel chain ("affine"/"act", fused_apply._eval_impl; F2F_EVAL env
+        overrides — resolved per call as a static jit argument, so probes
+        may flip the env mid-process). Formulation and route are baked into
+        the engine's jitted programs — construct a new engine to change
+        them."""
         if jax.default_backend() == "tpu":
             # the fused Pallas pipeline takes minutes to compile cold; the
             # persistent cache makes warm process start-up near-instant
@@ -273,8 +276,14 @@ class OnlineDenoiser:
                                       conv=conv_formulation)
         _deno = make_denoise(model, residual_model=residual_model,
                              conv=conv_formulation)
+        # eval_impl is a STATIC jit arg resolved per call (env override or
+        # the constructor default): flipping F2F_EVAL mid-process retraces
+        # instead of silently reusing the first implementation's executable
+        self.eval_impl = eval_impl
         self._denoise_eval = jax.jit(
-            lambda variables, x: _deno(variables, x, train=False))
+            lambda variables, x, impl: _deno(variables, x, train=False,
+                                             eval_impl=impl),
+            static_argnums=2)
         self._residual_model = residual_model
         self._denoise_batch = None  # built lazily on first denoise_batch
 
@@ -288,11 +297,15 @@ class OnlineDenoiser:
         )
         return deno, losses
 
+    def _eval_impl_now(self):
+        return os.environ.get("F2F_EVAL") or self.eval_impl or "affine"
+
     def denoise_only(self, cur):
         """Inference-only eval-mode denoise of one frame with the current
         (fine-tuned) parameters — the serving path: no fine-tune iterations,
         no flow (blind_denoising.py:229-230 run standalone)."""
-        return self._denoise_eval(self.variables, jnp.asarray(cur))
+        return self._denoise_eval(self.variables, jnp.asarray(cur),
+                                  self._eval_impl_now())
 
     def denoise_batch(self, frames, route=None):
         """Inference-only denoise of a BATCH of frames (B, H, W, C).
@@ -327,14 +340,15 @@ class OnlineDenoiser:
             if not can_fuse_batch(self.model, tuple(frames.shape)):
                 route = "perframe"
         if route == "perframe":
-            return jnp.stack([self._denoise_eval(self.variables, f)
+            impl = self._eval_impl_now()
+            return jnp.stack([self._denoise_eval(self.variables, f, impl)
                               for f in frames])
         if self._denoise_batch is None:
             from ..models.fused_apply import can_fuse
 
             conv = self.conv_formulation
 
-            def _batched(variables, x):
+            def _batched(variables, x, impl):
                 use_fused = (
                     getattr(self.model, "conv_impl", None) == "fused"
                     and (jax.default_backend() == "tpu"
@@ -347,13 +361,15 @@ class OnlineDenoiser:
 
                     y = fused_eval_apply_batch(
                         self.model, variables["params"],
-                        variables["batch_stats"], x, conv=conv)
+                        variables["batch_stats"], x, conv=conv,
+                        eval_impl=impl)
                 else:
                     y = self.model.apply(variables, x, train=False)
                 return y if self._residual_model else x - y
 
-            self._denoise_batch = jax.jit(_batched)
-        return self._denoise_batch(self.variables, frames)
+            self._denoise_batch = jax.jit(_batched, static_argnums=2)
+        return self._denoise_batch(self.variables, frames,
+                                   self._eval_impl_now())
 
     @property
     def variables(self):

@@ -147,6 +147,50 @@ def probe_kernels(H, W, tile_h=None):
                   flush=True)
 
 
+def probe_serving(H, W, reps=40, B=8):
+    """Inference-only serving fps: per-frame chain and stacked batch, for
+    both eval kernel implementations (affine-chained vs act-chained; see
+    models/fused_apply._eval_impl)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.train.online import OnlineDenoiser
+
+    rng = np.random.default_rng(0)
+    model, variables = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                  num_layers=17)
+    eng = OnlineDenoiser(model, variables, iters=1)
+    frame = jnp.asarray(rng.random((H, W, 1)).astype(np.float32))
+    batch = jnp.asarray(rng.random((B, H, W, 1)).astype(np.float32))
+
+    for impl in ("affine", "act"):
+        os.environ["F2F_EVAL"] = impl
+        try:
+            np.asarray(eng.denoise_only(frame))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                d = eng.denoise_only(frame)
+            np.asarray(d)
+            fps1 = reps / (time.perf_counter() - t0)
+
+            np.asarray(eng.denoise_batch(batch, route="stacked"))
+            t0 = time.perf_counter()
+            for _ in range(max(1, reps // B)):
+                db = eng.denoise_batch(batch, route="stacked")
+            np.asarray(db)
+            fpsb = max(1, reps // B) * B / (time.perf_counter() - t0)
+            print(f"serving[{impl}]: per-frame {fps1:.1f} fps, "
+                  f"stacked B={B} {fpsb:.1f} fps", flush=True)
+        except Exception as e:
+            print(f"serving[{impl}]: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+        finally:
+            del os.environ["F2F_EVAL"]
+
+
 def probe_flow(H, W, K=8):
     import jax.numpy as jnp
 
@@ -175,12 +219,16 @@ def main(argv=None):
                          "(default: the production default_tile_h)")
     ap.add_argument("--kernels-only", action="store_true")
     ap.add_argument("--step-only", action="store_true")
+    ap.add_argument("--serving-only", action="store_true")
     args = ap.parse_args(argv)
     H, W = (int(v) for v in args.hw.split("x"))
 
     from frame2frame_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    if args.serving_only:
+        probe_serving(H, W)
+        return
     if not args.kernels_only:
         probe_step(args.impls.split(","), H, W)
     if args.step_only:

@@ -63,6 +63,11 @@ timeout 3000 python scripts/perf_probe.py --impls fused --step-only \
   > "$LOG/ab_default.log" 2>&1
 note "default rc=$? $(grep -h 'step\[' "$LOG/ab_default.log" | tail -1)"
 
+note "phase 3d: serving eval-impl A/B (affine vs act kernels)"
+timeout 3000 python scripts/perf_probe.py --serving-only \
+  > "$LOG/ab_serving.log" 2>&1
+note "serving rc=$? $(grep -h 'serving\[' "$LOG/ab_serving.log" | tr '\n' ' ')"
+
 note "phase 4a: artifact pretrain"
 timeout 5800 python scripts/accuracy_artifact.py pretrain \
   > "$LOG/artifact_pretrain.log" 2>&1

@@ -279,6 +279,70 @@ def test_fused_eval_apply_batch_matches_per_frame():
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_act_eval_impl_matches_model(monkeypatch):
+    """The act-space eval chain (F2F_EVAL=act: BN scale folded into conv
+    weights, bias+ReLU+mask in the kernel epilogue, post-activation
+    chaining) == model.apply(train=False), single-frame AND stacked, both
+    chain dtypes and both formulations."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import (
+        fused_eval_apply,
+        fused_eval_apply_batch,
+    )
+
+    for H, W in ((16, 32), (13, 20)):
+        model, variables = init_dncnn(jax.random.PRNGKey(7), channels=1,
+                                      num_layers=5, conv_impl="packed",
+                                      spatial=(H, W))
+        bs = jax.tree_util.tree_map(lambda v: v + 0.03,
+                                    variables["batch_stats"])
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.random((2, H, W, 1)), jnp.float32)
+        y_ref = model.apply({"params": variables["params"],
+                             "batch_stats": bs}, x, train=False)
+
+        for conv in ("odd", "even"):
+            for dt in ("f32", "bf16"):
+                monkeypatch.setenv("F2F_EVAL_DTYPE", dt)
+                tol = dict(rtol=2e-4, atol=2e-4) if dt == "f32" else dict(
+                    rtol=0.03, atol=0.02)
+                y1 = fused_eval_apply(
+                    model, variables["params"], bs, x[:1],
+                    store_dtype=jnp.float32, conv=conv, eval_impl="act")
+                np.testing.assert_allclose(
+                    np.asarray(y1), np.asarray(y_ref[:1]),
+                    err_msg=f"single {conv} {dt}", **tol)
+                yb = fused_eval_apply_batch(
+                    model, variables["params"], bs, x,
+                    store_dtype=jnp.float32, conv=conv, eval_impl="act")
+                np.testing.assert_allclose(
+                    np.asarray(yb), np.asarray(y_ref),
+                    err_msg=f"stacked {conv} {dt}", **tol)
+
+
+def test_engine_eval_impl_switch(monkeypatch):
+    """denoise_only through the engine gives the same result under both eval
+    implementations, including an F2F_EVAL flip mid-process (the impl is a
+    static jit arg, so the flip retraces instead of reusing the stale
+    executable)."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.train.online import OnlineDenoiser
+
+    monkeypatch.setenv("F2F_FUSED", "force")
+    H, W = 16, 32
+    model, variables = init_dncnn(jax.random.PRNGKey(9), channels=1,
+                                  num_layers=4, conv_impl="fused",
+                                  spatial=(H, W))
+    eng = OnlineDenoiser(model, variables, iters=1)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((H, W, 1)), jnp.float32)
+    y_affine = np.asarray(eng.denoise_only(x))
+    monkeypatch.setenv("F2F_EVAL", "act")
+    y_act = np.asarray(eng.denoise_only(x))
+    # bf16 chains with different rounding points: loose tolerance
+    np.testing.assert_allclose(y_act, y_affine, rtol=0.05, atol=0.03)
+
+
 def test_denoise_batch_engine(monkeypatch):
     """OnlineDenoiser.denoise_batch == per-frame denoise_only results, on
     BOTH routes: the default stacked batched forward and the
