@@ -18,9 +18,11 @@ FASTDVD_NAMES = ("fastdvd", "fastdvdnet", "fdvdnet", "fdvd")
 
 
 def arch_pairs():
-    # reference dncnn/io.py:68-70 defaults
+    # reference dncnn/io.py:68-70 defaults; conv_impl is ours (TPU execution
+    # engine selection — "fused" routes eval through the act/stats-free
+    # Pallas serving kernels when geometry allows)
     return {"channels": 3, "num_of_layers": 17, "residual": True, "seed": 0,
-            "model_dtype": "float32"}
+            "model_dtype": "float32", "conv_impl": "xla"}
 
 
 def io_pairs():
@@ -48,7 +50,7 @@ def load_model(cfg):
     if mtype == "dncnn":
         model, variables = init_dncnn(
             key, channels=cfg.channels, num_layers=cfg.num_of_layers,
-            residual=cfg.residual, dtype=dtype,
+            residual=cfg.residual, dtype=dtype, conv_impl=cfg.conv_impl,
         )
     elif mtype in FASTDVD_NAMES:
         model, variables = init_fastdvdnet(key, channels=cfg.channels, dtype=dtype)
@@ -63,6 +65,18 @@ def load_model(cfg):
         if train:
             return model.apply(variables, vid, train=True,
                                mutable=["batch_stats"], **kw)
+        # eval: route through the fused batched serving kernels when the
+        # config selected the fused engine and the geometry allows — the
+        # harness analogue of OnlineDenoiser.denoise_batch (eval BN uses
+        # running stats, so the frame batch is exact)
+        if (mtype == "dncnn" and cfg.conv_impl == "fused" and not kw
+                and jax.default_backend() == "tpu"):
+            from .fused_apply import can_fuse_batch, fused_eval_apply_batch
+
+            if can_fuse_batch(model, tuple(vid.shape)):
+                return fused_eval_apply_batch(
+                    model, variables["params"],
+                    variables.get("batch_stats", {}), vid)
         return model.apply(variables, vid, train=False, **kw)
 
     return Config(model=model, variables=variables, apply=apply, cfg=cfg,
