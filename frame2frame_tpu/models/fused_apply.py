@@ -389,7 +389,8 @@ def fused_train_apply_spatial(model, params, batch_stats, x, mesh,
 
 
 def fused_eval_apply_spatial(model, params, batch_stats, x, mesh,
-                             store_dtype=jnp.bfloat16, conv=None):
+                             store_dtype=jnp.bfloat16, conv=None,
+                             eval_impl=None):
     """``fused_eval_apply`` H-sharded over ``mesh``'s ``space`` axis."""
     from ..ops.fused_spatial import eval_mid_stack_spatial
     from ..ops.fused_stack import _affine_from_stats, tile_vec
@@ -400,6 +401,12 @@ def fused_eval_apply_spatial(model, params, batch_stats, x, mesh,
     xp, tile_h = _spatial_pad(x, mesh)
     x2 = pack_image(xp)
     a1 = jax.nn.relu(end_conv(x2, params["conv_in"]["kernel"]))
+    # zero conv leakage in the H-pad rows: the act-chained kernels do no
+    # operand masking (their inputs are post-activation, already masked by
+    # the producer epilogue), so the stack input must arrive pre-masked too
+    # (the affine-chained kernels mask operands and don't care)
+    row_ok = (jnp.arange(xp.shape[1]) < H)[None, :, None, None]
+    a1 = jnp.where(row_ok, a1, jnp.zeros((), a1.dtype))
 
     ws = jnp.stack([params[f"conv_{i}"]["kernel"] for i in range(nmid)])
     svecs = [jnp.ones((128,), jnp.float32)]
@@ -413,7 +420,7 @@ def fused_eval_apply_spatial(model, params, batch_stats, x, mesh,
 
     a_out = eval_mid_stack_spatial(ws, jnp.stack(svecs), jnp.stack(bvecs),
                                    a1, H, tile_h, store_dtype, mesh,
-                                   conv)[:, :H]
+                                   conv, eval_impl=eval_impl)[:, :H]
     noise2 = end_conv(a_out, params["conv_out"]["kernel"])
     noise = unpack_image(noise2).astype(jnp.float32)
     return x - noise if model.residual else noise

@@ -53,6 +53,7 @@ from .fused_stack import (
     fold_vec,
     from_flat,
     fwd_layer,
+    fwd_layer_eval,
     pack_kernel_flat,
     pack_kernel_odd,
     pack_kernel_odd_bwd,
@@ -340,19 +341,52 @@ def _eval_local(ws, svecs, bvecs, a1_loc, *, g, H_true, n_shards,
     return a_out
 
 
+def _act_eval_local(ws, svecs, bvecs, a1_loc, *, g, H_true, n_shards,
+                    chain_dtype, conv=None):
+    """Act-space eval chain, shard-local: the layer's eval BN scale is
+    folded into its conv weights and the bias+ReLU+mask ride the kernel
+    epilogue (fused_stack.fwd_layer_eval) — activations chain POST-activation
+    between layers, so the ppermute halos carry already-masked rows and the
+    consumer does no operand masking (see models/fused_apply._eval_impl)."""
+    L = ws.shape[0]
+    odd = fwd_odd(conv)
+    vb = _valid_bounds(g, H_true, n_shards)
+    cur = _exchange(to_flat(a1_loc.astype(chain_dtype), g), g, n_shards)
+    for i in range(L):
+        # svecs/bvecs entry i+1 is the affine applied AFTER conv_i (the
+        # caller's convention indexes affines by the layer input they feed)
+        s64 = svecs[i + 1][:64]
+        w2 = (pack_kernel_odd(ws[i] * s64[None, None, None, :]) if odd
+              else pack_kernel_flat(ws[i] * s64[None, None, None, :]))
+        cur, = fwd_layer_eval(cur, w2, bvecs[i + 1], g, odd=odd,
+                              valid_bounds=vb)
+        if i + 1 < L:
+            cur = _exchange(cur, g, n_shards)
+    return from_flat(cur.astype(jnp.float32), g)
+
+
 def eval_mid_stack_spatial(ws, svecs, bvecs, a1, H_true, tile_h,
-                           store_dtype, mesh, conv=None):
+                           store_dtype, mesh, conv=None, eval_impl=None):
     """H-sharded eval-mode mid-stack: per-layer affines precomputed from
     RUNNING statistics (svecs/bvecs (L+1, 128): entry i is applied to layer
-    i's *input*, entry 0 = identity, entry L = the final affine)."""
+    i's *input*, entry 0 = identity, entry L = the final affine).
+    ``eval_impl`` selects the affine-chained vs act-chained kernels
+    (models/fused_apply._eval_impl; F2F_EVAL env overrides)."""
     from jax.sharding import PartitionSpec as P
+
+    from ..models.fused_apply import _eval_chain_dtype, _eval_impl
 
     D = mesh.shape[AXIS]
     _, Hp, W2, _ = a1.shape
     g = _local_geom(Hp, W2, tile_h, D)
+    if _eval_impl(eval_impl) == "act":
+        local = partial(_act_eval_local, g=g, H_true=H_true, n_shards=D,
+                        chain_dtype=_eval_chain_dtype(), conv=conv)
+    else:
+        local = partial(_eval_local, g=g, H_true=H_true, n_shards=D,
+                        store_dtype=store_dtype, conv=conv)
     fn = jax.shard_map(
-        partial(_eval_local, g=g, H_true=H_true, n_shards=D,
-                store_dtype=store_dtype, conv=conv),
+        local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(None, AXIS, None, None)),
         out_specs=P(None, AXIS, None, None),

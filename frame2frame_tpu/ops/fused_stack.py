@@ -590,8 +590,15 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
 
 
 def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
-                     stack=None, upcast=True):
+                     stack=None, upcast=True, dyn_valid=False):
     rest = list(rest)
+    if dyn_valid:
+        # spatially sharded serving: shard-local row-validity window as SMEM
+        # scalars (see _fwd_kernel) — applied only in the epilogue mask here
+        vb_ref = rest.pop(0)
+        valid_lo, valid_hi = vb_ref[0], vb_ref[1]
+    else:
+        valid_lo, valid_hi = g.valid_lo, g.valid_hi
     a_out = rest.pop(0)
     if upcast:
         land, fslab, sem = rest     # bf16 landing + f32 compute slab
@@ -632,7 +639,7 @@ def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
         # activation with bias + ReLU, and zero pad columns / H-pad rows /
         # (stacked) separator rows so the NEXT layer needs no operand masking
         pos = lax.broadcasted_iota(jnp.int32, (n, 1), 0) + i * n
-        vb = (pos >= g.valid_lo) & (pos < g.valid_hi)
+        vb = (pos >= valid_lo) & (pos < valid_hi)
         if stack is not None:
             # output tiles sit fully inside one frame block (frames are
             # tile-aligned), so no halo wrap handling is needed here
@@ -655,7 +662,8 @@ def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
             compute(slot)
 
 
-def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None):
+def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None,
+                   valid_bounds=None):
     """One act-space eval mid-layer: a_i -> a_{i+1} (both post-activation).
 
     a_flat: ((T+2)*n, 128) flat POST-activation input (bf16 or f32 chain —
@@ -669,9 +677,23 @@ def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None):
     """
     ntap = 6 if odd else 9
     assert w2s_flat.shape[0] == ntap, (w2s_flat.shape, odd)
+    assert not (stack is not None and valid_bounds is not None)
     cmask_tile, _ = _col_mask(g)
     upcast = a_flat.dtype != jnp.float32
+    dyn = valid_bounds is not None
     bvec = b_vec.astype(jnp.float32).reshape(1, 128)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g.n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    ins = [a_flat, w2s_flat.astype(a_flat.dtype), bvec, cmask_tile]
+    if dyn:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ins.append(jnp.asarray(valid_bounds, jnp.int32))
 
     scratch = [pltpu.VMEM((2, g.slab, 128), a_flat.dtype)]
     if upcast:
@@ -679,15 +701,10 @@ def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None):
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     out, = pl.pallas_call(
-        partial(_fwd_eval_kernel, g=g, odd=odd, stack=stack, upcast=upcast),
+        partial(_fwd_eval_kernel, g=g, odd=odd, stack=stack, upcast=upcast,
+                dyn_valid=dyn),
         grid=(g.T + 2,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((ntap, 128, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g.n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((g.n, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((g.tot, 128), a_flat.dtype)],
@@ -695,7 +712,7 @@ def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None):
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(a_flat, w2s_flat.astype(a_flat.dtype), bvec, cmask_tile)
+    )(*ins)
     return (out,)
 
 

@@ -435,3 +435,34 @@ def test_fused_mid_stack_spatial_matches_single_chip():
                                        atol=5e-3, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(g_s[3][:, :H]),
                                    np.asarray(g_r[3]), atol=1e-4)
+
+
+def test_spatial_eval_act_impl_matches_single_chip(monkeypatch):
+    """The H-sharded serving eval with the act-space kernels (F2F_EVAL=act:
+    BN scale folded into weights, post-activation halos) == single-device
+    model.apply(train=False), both eval impls, across shard counts."""
+    from jax.sharding import Mesh
+
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import fused_eval_apply_spatial
+
+    monkeypatch.setenv("F2F_EVAL_DTYPE", "f32")
+    H, W = 28, 32
+    model, variables = init_dncnn(jax.random.PRNGKey(2), channels=1,
+                                  num_layers=5, conv_impl="packed",
+                                  spatial=(H, W))
+    bs = jax.tree_util.tree_map(lambda v: v + 0.04, variables["batch_stats"])
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.random((1, H, W, 1)), jnp.float32)
+    y_ref = model.apply({"params": variables["params"], "batch_stats": bs},
+                        x, train=False)
+
+    for D in (1, 2):
+        mesh = Mesh(np.array(jax.devices()[:D]), ("space",))
+        for impl in ("affine", "act"):
+            y = fused_eval_apply_spatial(
+                model, variables["params"], bs, x, mesh,
+                store_dtype=jnp.float32, eval_impl=impl)
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=2e-4,
+                err_msg=f"D={D} impl={impl}")
