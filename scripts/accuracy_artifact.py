@@ -103,15 +103,14 @@ def _load_engine(conv_impl="fused", iters=20):
                           residual_model=True), variables
 
 
-def trajectory(nframes=300):
+def trajectory(nframes=300, h=540, w=960):
     import jax.numpy as jnp
 
     from frame2frame_tpu.flow.tvl1 import DENOISING_PARAMS
     from frame2frame_tpu.train.online import AsyncFlowSolver, _want_async_flow
     from frame2frame_tpu.utils.metrics import psnr
 
-    clean, noisy = _frames_540p(nframes)
-    h, w = noisy.shape[1:3]
+    clean, noisy = _frames_540p(nframes, h=h, w=w)
     eng, _ = _load_engine()
 
     if _want_async_flow("auto"):
@@ -145,7 +144,9 @@ def trajectory(nframes=300):
     dt = time.time() - t0
 
     OUT.mkdir(parents=True, exist_ok=True)
-    with open(OUT / "psnr_540p_300f.txt", "w") as f:
+    name = ("psnr_540p_300f.txt" if (h, w, nframes) == (540, 960, 300)
+            else f"psnr_{h}x{w}_{nframes}f.txt")
+    with open(OUT / name, "w") as f:
         f.writelines(f"{v}\n" for v in psnrs)
     tail = psnrs[len(psnrs) // 3:]
     stats = {
@@ -159,7 +160,9 @@ def trajectory(nframes=300):
         "seconds_total": round(dt, 1),
         "seconds_per_frame": round(dt / (nframes - 1), 3),
     }
-    (OUT / "trajectory_stats.json").write_text(json.dumps(stats, indent=1))
+    sname = ("trajectory_stats.json" if (h, w, nframes) == (540, 960, 300)
+             else f"trajectory_stats_{h}x{w}_{nframes}f.json")
+    (OUT / sname).write_text(json.dumps(stats, indent=1))
     print(json.dumps(stats))
 
 
@@ -239,14 +242,18 @@ def oracle(nframes=5, h=192, w=256):
 
 
 def main():
+    # usage: accuracy_artifact.py [phase] [nframes] [H] [W]
+    # (scale args apply to the trajectory phase — the reduced-resolution
+    # CPU-fallback mode; the headline artifact is 300 frames at 540p)
     phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    scale = [int(v) for v in sys.argv[2:5]]
     from frame2frame_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     if phase in ("pretrain", "all"):
         pretrain()
     if phase in ("trajectory", "all"):
-        trajectory()
+        trajectory(*scale)
     if phase in ("oracle", "all"):
         oracle()
 
