@@ -338,35 +338,44 @@ def _run_child_watched():
     CHILD_TIMEOUT_S for the benchmark itself. Returns (stdout, error_desc)."""
     import tempfile
 
-    with tempfile.TemporaryFile("w+") as fout, \
-            tempfile.TemporaryFile("w+") as ferr:
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            stdout=fout, stderr=ferr, text=True)
+    # NOTE: the parent must never seek a file description the child writes
+    # through (Popen dups the fd, sharing ONE offset — a parent seek(0) would
+    # make the child's next write land at the start, corrupting earlier
+    # output incl. the init marker). The child gets plain write handles; the
+    # parent reads the same PATHS through separate opens.
+    with tempfile.TemporaryDirectory() as td:
+        out_path = os.path.join(td, "out")
+        err_path = os.path.join(td, "err")
+        with open(out_path, "w") as fout, open(err_path, "w") as ferr:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                stdout=fout, stderr=ferr, text=True)
 
-        def read(f):
-            f.flush()
-            f.seek(0)
-            return f.read()
+        def read(path):
+            try:
+                with open(path) as f:
+                    return f.read()
+            except OSError:
+                return ""
 
         t0 = time.monotonic()
         init_ok = False
         while proc.poll() is None:
             elapsed = time.monotonic() - t0
-            if not init_ok and INIT_MARKER in read(ferr):
+            if not init_ok and INIT_MARKER in read(err_path):
                 init_ok = True
             if not init_ok and elapsed > INIT_TIMEOUT_S:
                 proc.kill()
                 proc.wait()
-                return read(fout), (
+                return read(out_path), (
                     f"backend init hang (no devices after {INIT_TIMEOUT_S}s); "
-                    f"stderr={read(ferr).strip()[-300:]}")
+                    f"stderr={read(err_path).strip()[-300:]}")
             if elapsed > CHILD_TIMEOUT_S:
                 proc.kill()
                 proc.wait()
-                return read(fout), f"child timeout {CHILD_TIMEOUT_S}s"
+                return read(out_path), f"child timeout {CHILD_TIMEOUT_S}s"
             time.sleep(2)
-        out, errtxt = read(fout), read(ferr)
+        out, errtxt = read(out_path), read(err_path)
         if proc.returncode == 0 and _parse_result(out) is not None:
             return out, ""
         return out, (f"rc={proc.returncode} "

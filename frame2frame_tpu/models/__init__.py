@@ -7,6 +7,8 @@ arch/io pairs (lib/frame2frame/dncnn/io.py:68-80).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -70,7 +72,8 @@ def load_model(cfg):
         # harness analogue of OnlineDenoiser.denoise_batch (eval BN uses
         # running stats, so the frame batch is exact)
         if (mtype == "dncnn" and cfg.conv_impl == "fused" and not kw
-                and jax.default_backend() == "tpu"):
+                and jax.default_backend() == "tpu"
+                and os.environ.get("F2F_FUSED") != "0"):
             from .fused_apply import can_fuse_batch, fused_eval_apply_batch
 
             if can_fuse_batch(model, tuple(vid.shape)):

@@ -42,28 +42,44 @@ def _make_end_conv(store_dtype):
     return end_conv
 
 
+def _geom_ok(model, H, W):
+    """Shared tile-geometry precondition of the fused pipelines: 64
+    features, even width, ALIGN-divisible tile rows, tall-enough frames,
+    a real mid-stack. Returns (W2, tile_h) or None."""
+    from ..ops.fused_stack import ALIGN
+
+    if model.features != 64 or W % 2:
+        return None
+    W2 = W // 2
+    th = default_tile_h(W2)
+    if (th * (W2 + 2)) % ALIGN != 0 or H < th or model.num_layers < 3:
+        return None
+    return W2, th
+
+
 def can_fuse(model, x_shape, conv=None):
     """The fused pipeline covers the standard packed DnCNN: batch 1, 64
     features, even width, tall-enough frames for the tile geometry, and a
     backward-kernel scratch footprint that fits VMEM (very wide frames —
     ~4K — exceed it and fall back to the XLA path)."""
     B, H, W, _ = x_shape
-    if model.features != 64 or B != 1 or W % 2:
+    if B != 1:
         return False
-    W2 = W // 2
-    th = default_tile_h(W2)
-    if (th * (W2 + 2)) % 16 != 0 or H < th or model.num_layers < 3:
+    geom = _geom_ok(model, H, W)
+    if geom is None:
         return False
     # backward-kernel scratch must stay under the 100 MB scoped VMEM cap with
     # headroom for accumulators; the byte accounting lives next to the kernel
     # (Geom.bwd_scratch_bytes) so this guard cannot drift from it
     from ..ops.fused_stack import Geom
 
+    W2, th = geom
     g = Geom(H, W2, th)
     return g.bwd_scratch_bytes(conv=conv) < 88 * 1024 * 1024
 
 
-def can_fuse_batch(model, x_shape, hbm_budget_bytes=12 * 1024 ** 3):
+def can_fuse_batch(model, x_shape, hbm_budget_bytes=12 * 1024 ** 3,
+                   eval_impl=None):
     """Feasibility of the STACKED batched-serving layout
     (``fused_eval_apply_batch``): the whole (B, H, W) batch becomes one flat
     ((B*T_f+2)*n, 128) activation per live tensor, so beyond the single-frame
@@ -71,21 +87,25 @@ def can_fuse_batch(model, x_shape, hbm_budget_bytes=12 * 1024 ** 3):
     keeps ~2 live flat tensors (current + next layer, double-buffered by
     XLA) plus the packed input/output; guard at 4x one flat tensor against
     ``hbm_budget_bytes`` (v5e: 16 GB minus weights/workspace headroom).
-    Callers fall back to the per-frame route when this fails — the serving
-    analogue of the reference's chunked-inference memory discipline
-    (test.py:172-175)."""
+    The per-element size follows the ACTIVE chain dtype (the act impl's f32
+    chain doubles it). Callers fall back to the per-frame route when this
+    fails — the serving analogue of the reference's chunked-inference
+    memory discipline (test.py:172-175)."""
     B, H, W, _ = x_shape
-    if model.features != 64 or W % 2:
-        return False
-    W2 = W // 2
-    th = default_tile_h(W2)
-    if (th * (W2 + 2)) % 16 != 0 or H < th or model.num_layers < 3:
+    geom = _geom_ok(model, H, W)
+    if geom is None:
         return False
     from ..ops.fused_stack import Geom, stack_tiles
 
+    W2, th = geom
     T_f = stack_tiles(H, th)
     g = Geom(B * T_f * th, W2, th)
-    flat_bytes = g.tot * 128 * 2  # bf16 store dtype
+    if (_eval_impl(eval_impl) == "act"
+            and _eval_chain_dtype(eval_impl) == jnp.float32):
+        elem = 4
+    else:
+        elem = 2  # bf16 store dtype
+    flat_bytes = g.tot * 128 * elem
     return 4 * flat_bytes < hbm_budget_bytes
 
 
@@ -141,18 +161,26 @@ def _eval_impl(eval_impl=None):
     - "act": activations chain POST-activation; the eval BN scale is folded
       into the conv weights and bias+ReLU+mask ride the epilogue — the
       consumer's per-element work reduces to the odd-slab build
-      (fused_stack.fwd_layer_eval). F2F_EVAL_DTYPE in {bf16 (default), f32}
-      picks the chain storage (f32 trades 2x DMA for skipping the upcast).
+      (fused_stack.fwd_layer_eval). The chain storage dtype comes from the
+      token suffix ("act-f32"/"act-bf16") or the F2F_EVAL_DTYPE env var
+      (bf16 default; f32 trades 2x DMA for skipping the upcast). Callers
+      that jit over the impl (OnlineDenoiser) use the SUFFIXED token as the
+      static key, so a dtype flip retraces rather than silently reusing the
+      other dtype's executable.
 
     The ``F2F_EVAL`` env var (probe override) wins over the argument.
     """
-    env = os.environ.get("F2F_EVAL")
-    impl = env or eval_impl or "affine"
-    assert impl in ("affine", "act"), impl
-    return impl
+    tok = os.environ.get("F2F_EVAL") or eval_impl or "affine"
+    assert tok in ("affine", "act", "act-f32", "act-bf16"), tok
+    return "affine" if tok == "affine" else "act"
 
 
-def _eval_chain_dtype():
+def _eval_chain_dtype(eval_impl=None):
+    tok = os.environ.get("F2F_EVAL") or eval_impl or ""
+    if tok.endswith("-f32"):
+        return jnp.float32
+    if tok.endswith("-bf16"):
+        return jnp.bfloat16
     return (jnp.float32 if os.environ.get("F2F_EVAL_DTYPE") == "f32"
             else jnp.bfloat16)
 
@@ -166,7 +194,7 @@ def _eval_layer_affine(params, batch_stats, i):
 
 
 def _act_eval_mid_stack(model, params, batch_stats, a1, g, to_flat_fn,
-                        from_flat_fn, conv=None, stack=None):
+                        from_flat_fn, conv=None, stack=None, eval_impl=None):
     """The act-space eval mid-stack shared by the single-frame and stacked
     serving paths (see _eval_impl)."""
     from ..ops.fused_stack import (
@@ -179,7 +207,7 @@ def _act_eval_mid_stack(model, params, batch_stats, a1, g, to_flat_fn,
 
     odd = fwd_odd(conv)
     nmid = model.num_layers - 2
-    cur = to_flat_fn(a1.astype(_eval_chain_dtype()))
+    cur = to_flat_fn(a1.astype(_eval_chain_dtype(eval_impl)))
     for i in range(nmid):
         s64, b64 = _eval_layer_affine(params, batch_stats, i)
         kern = params[f"conv_{i}"]["kernel"] * s64[None, None, None, :]
@@ -225,7 +253,8 @@ def fused_eval_apply(model, params, batch_stats, x, store_dtype=jnp.bfloat16,
     if _eval_impl(eval_impl) == "act":
         a_out = _act_eval_mid_stack(
             model, params, batch_stats, a1, g,
-            lambda a: to_flat(a, g), lambda f: from_flat(f, g), conv=conv)
+            lambda a: to_flat(a, g), lambda f: from_flat(f, g), conv=conv,
+            eval_impl=eval_impl)
     else:
         cur = to_flat(a1.astype(store_dtype), g)
         s_vec = jnp.ones((128,), jnp.float32)
@@ -304,7 +333,8 @@ def fused_eval_apply_batch(model, params, batch_stats, x,
         a_out = _act_eval_mid_stack(
             model, params, batch_stats, a1, g,
             lambda a: to_flat_stack(a, g, T_f),
-            lambda f: from_flat_stack(f, H, g, T_f), conv=conv, stack=stack)
+            lambda f: from_flat_stack(f, H, g, T_f), conv=conv, stack=stack,
+            eval_impl=eval_impl)
     else:
         cur = to_flat_stack(a1.astype(store_dtype), g, T_f)
         s_vec = jnp.ones((128,), jnp.float32)

@@ -381,7 +381,7 @@ def eval_mid_stack_spatial(ws, svecs, bvecs, a1, H_true, tile_h,
     g = _local_geom(Hp, W2, tile_h, D)
     if _eval_impl(eval_impl) == "act":
         local = partial(_act_eval_local, g=g, H_true=H_true, n_shards=D,
-                        chain_dtype=_eval_chain_dtype(), conv=conv)
+                        chain_dtype=_eval_chain_dtype(eval_impl), conv=conv)
     else:
         local = partial(_eval_local, g=g, H_true=H_true, n_shards=D,
                         store_dtype=store_dtype, conv=conv)

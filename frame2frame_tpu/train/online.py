@@ -99,7 +99,7 @@ def make_denoise(model, residual_model=False, spatial_mesh=None, conv=None):
             if spatial_mesh is not None:
                 y = fused_eval_apply_spatial(
                     model, variables["params"], variables["batch_stats"],
-                    x[None], spatial_mesh, conv=conv)
+                    x[None], spatial_mesh, conv=conv, eval_impl=eval_impl)
             else:
                 y = fused_eval_apply(model, variables["params"],
                                      variables["batch_stats"], x[None],
@@ -298,7 +298,17 @@ class OnlineDenoiser:
         return deno, losses
 
     def _eval_impl_now(self):
-        return os.environ.get("F2F_EVAL") or self.eval_impl or "affine"
+        """Resolve the serving eval impl into a fully-qualified static token
+        ("affine" / "act-f32" / "act-bf16"): delegates validation to the one
+        resolver (fused_apply._eval_impl) and PINS the act chain dtype into
+        the token so a F2F_EVAL_DTYPE flip retraces too."""
+        from ..models.fused_apply import _eval_chain_dtype, _eval_impl
+
+        tok = os.environ.get("F2F_EVAL") or self.eval_impl or "affine"
+        if _eval_impl(tok) == "affine":
+            return "affine"
+        return ("act-f32" if _eval_chain_dtype(tok) == jnp.float32
+                else "act-bf16")
 
     def denoise_only(self, cur):
         """Inference-only eval-mode denoise of one frame with the current
@@ -337,7 +347,8 @@ class OnlineDenoiser:
         if route == "stacked":
             from ..models.fused_apply import can_fuse_batch
 
-            if not can_fuse_batch(self.model, tuple(frames.shape)):
+            if not can_fuse_batch(self.model, tuple(frames.shape),
+                                  eval_impl=self._eval_impl_now()):
                 route = "perframe"
         if route == "perframe":
             impl = self._eval_impl_now()

@@ -140,6 +140,10 @@ def run(cfg):
                    {"params": state.params, "batch_stats": state.batch_stats})
 
     out = Config(acc.summary())
+    # summary() averages across epochs; also expose the LAST epoch's value
+    # per metric — the one that describes the shipped (final) checkpoint
+    out.final = Config({k: (float(v[-1]) if np.ndim(v[-1]) == 0 else v[-1])
+                        for k, v in acc.metrics.items()})
     out.state = state
     out.checkpoint = str(ckpt_dir / f"{uuid}-final.msgpack")
     return out

@@ -80,7 +80,10 @@ def pretrain():
     save_variables(OUT / "checkpoint.msgpack",
                    {"params": state.params, "batch_stats": state.batch_stats})
     recipe = {k: v for k, v in PRETRAIN_CFG.items()}
-    recipe["val_psnr"] = float(res.get("val_psnr", float("nan")))
+    # the FINAL epoch's validation PSNR — the shipped checkpoint's quality
+    # (res.val_psnr is the mean across all epochs, which understates it)
+    recipe["val_psnr"] = float(res.final.get("val_psnr", float("nan")))
+    recipe["val_psnr_epoch_mean"] = float(res.get("val_psnr", float("nan")))
     recipe["train_seconds"] = round(dt, 1)
     recipe["steps"] = int(np.asarray(state.step))
     (OUT / "recipe.json").write_text(json.dumps(recipe, indent=1))

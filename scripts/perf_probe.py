@@ -166,6 +166,7 @@ def probe_serving(H, W, reps=40, B=8):
     frame = jnp.asarray(rng.random((H, W, 1)).astype(np.float32))
     batch = jnp.asarray(rng.random((B, H, W, 1)).astype(np.float32))
 
+    prior = os.environ.get("F2F_EVAL")
     for impl in ("affine", "act"):
         os.environ["F2F_EVAL"] = impl
         try:
@@ -188,7 +189,10 @@ def probe_serving(H, W, reps=40, B=8):
             print(f"serving[{impl}]: FAILED {type(e).__name__}: "
                   f"{str(e)[:160]}", flush=True)
         finally:
-            del os.environ["F2F_EVAL"]
+            if prior is None:
+                os.environ.pop("F2F_EVAL", None)
+            else:
+                os.environ["F2F_EVAL"] = prior
 
 
 def probe_flow(H, W, K=8):
