@@ -68,6 +68,11 @@ timeout 3000 python scripts/perf_probe.py --serving-only \
   > "$LOG/ab_serving.log" 2>&1
 note "serving rc=$? $(grep -h 'serving\[' "$LOG/ab_serving.log" | tr '\n' ' ')"
 
+note "phase 3e: serving eval-impl A/B at 1080p"
+timeout 3000 python scripts/perf_probe.py --serving-only --hw 1080x1920 \
+  > "$LOG/ab_serving_1080.log" 2>&1
+note "serving1080 rc=$? $(grep -h 'serving\[' "$LOG/ab_serving_1080.log" | tr '\n' ' ')"
+
 note "phase 4a: artifact pretrain"
 timeout 5800 python scripts/accuracy_artifact.py pretrain \
   > "$LOG/artifact_pretrain.log" 2>&1
