@@ -125,6 +125,26 @@ def use_odd(conv=None):
     return conv_mode(conv) != "even"
 
 
+def dot_bf16(flag=None):
+    """MXU dot operands in bf16 (``F2F_DOT_BF16=1``; default f32).
+
+    The slabs feeding the dots are f32 today (affine/dz epilogues compute in
+    f32, and pltpu.roll — the odd-slab build — only takes 32-bit dtypes), so
+    every dot runs at the MXU's f32 rate. Round-3 measured per-dot compute
+    ~0.6 us at tile_h=8 — almost exactly 2x the bf16 ideal (~0.32 us for
+    n=3856 x 128 @ 128 x 128 on v5e's 197 bf16 TFLOPs), i.e. the dots pay the
+    f32 multi-pass penalty. This mode downcasts operand values to bf16 right
+    before the dots (one extra VPU astype pass per slab; accumulation stays
+    f32 via preferred_element_type), trading ~0.15 us of VPU per tile for
+    ~50% of the serial MXU term. Precision: activations and propagated
+    gradients ALREADY round-trip through bf16 HBM slabs between layers, so
+    operand rounding adds no new error class; dW accumulates in f32.
+    """
+    if flag is not None:
+        return bool(flag)
+    return os.environ.get("F2F_DOT_BF16", "0") == "1"
+
+
 # ---------------------------------------------------------------------------
 # geometry
 
@@ -385,7 +405,7 @@ def _slab_dma(hbm, slabs, sems, j, slot, g):
 
 def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
                 *rest, g, odd, dyn_valid=False, stack=None, emit_act=False,
-                emit_stats=True):
+                emit_stats=True, dot16=False):
     rest = list(rest)
     if dyn_valid:
         # spatial sharding (ops/fused_spatial.py): the row-validity window is
@@ -456,6 +476,11 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         if odd:
             os_ = _odd_slab(as_[:])
+            if dot16:
+                # bf16 dot operands: one astype pass over the slab buys the
+                # MXU's bf16 rate on all 6 dots (see dot_bf16). The roll
+                # above must stay f32 (pltpu.roll is 32-bit only).
+                os_ = os_.astype(jnp.bfloat16)
             if emit_act:
                 # emit the odd activation slab this kernel built anyway: the
                 # backward consumes it by DMA instead of rebuilding a_prev +
@@ -467,8 +492,9 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
                     xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         else:
+            asd = as_[:].astype(jnp.bfloat16) if dot16 else None
             for t, sh in enumerate(g.shifts):
-                xs = as_[off + sh:off + sh + n, :]
+                xs = (asd if dot16 else as_)[off + sh:off + sh + n, :]
                 parts[t % 3] += lax.dot_general(
                     xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -495,7 +521,8 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
 
 
 def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
-              valid_bounds=None, stack=None, emit_act=False, emit_stats=True):
+              valid_bounds=None, stack=None, emit_act=False, emit_stats=True,
+              dot16=None):
     """One fused mid-layer forward pass over the flat layout.
 
     zprev_flat: ((T+2)*n, 128) bf16 — previous layer's raw conv output (or
@@ -514,13 +541,16 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
     odd-mode training forward only);
     emit_stats: accumulate and return the BN batch statistics — False for
     eval-mode forwards (running stats), which skips the per-tile stat
-    masking/reductions entirely (the round-3 verdict's stats-free variant).
+    masking/reductions entirely (the round-3 verdict's stats-free variant);
+    dot16: bf16 MXU dot operands (None -> the F2F_DOT_BF16 env default; see
+    ``dot_bf16``).
 
     Returns z_flat bf16, then (if emit_act) o_flat, then (if emit_stats)
     stats (2, 128) f32 = (sum z, sum z^2) per lane.
     """
     assert not (stack is not None and valid_bounds is not None)
     assert not (emit_act and not odd), "store_odd_act requires the odd form"
+    dot16 = dot_bf16(dot16)
     ntap = 6 if odd else 9
     assert w2_flat.shape[0] == ntap, (w2_flat.shape, odd)
     # a single (slab, 1) column mask is exact for BOTH lane halves of the odd
@@ -539,7 +569,8 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
             pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
     ]
-    ins = [zprev_flat, w2_flat.astype(zprev_flat.dtype), vecs, cmask_slab]
+    w_dtype = jnp.bfloat16 if dot16 else zprev_flat.dtype
+    ins = [zprev_flat, w2_flat.astype(w_dtype), vecs, cmask_slab]
     if dyn:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ins.append(jnp.asarray(valid_bounds, jnp.int32))
@@ -559,7 +590,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
 
     outs = pl.pallas_call(
         partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn, stack=stack,
-                emit_act=emit_act, emit_stats=emit_stats),
+                emit_act=emit_act, emit_stats=emit_stats, dot16=dot16),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -590,7 +621,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
 
 
 def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
-                     stack=None, upcast=True, dyn_valid=False):
+                     stack=None, upcast=True, dyn_valid=False, dot16=False):
     rest = list(rest)
     if dyn_valid:
         # spatially sharded serving: shard-local row-validity window as SMEM
@@ -617,21 +648,32 @@ def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
         a_out[:] = jnp.zeros_like(a_out)
 
     def compute(slot):
-        if upcast:
+        if upcast and fslab is not land:
             fslab.at[slot][:] = land.at[slot][:].astype(jnp.float32)
         src = fslab.at[slot]
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         if odd:
+            # the roll must run in 32 bits (pltpu.roll); dot16 downcasts the
+            # rolled slab right before the 6 dots
             os_ = _odd_slab(src[:])
+            if dot16:
+                os_ = os_.astype(jnp.bfloat16)
             for t, sh in enumerate(g.odd_shifts):
                 parts[t % 3] += lax.dot_general(
                     os_[off + sh:off + sh + n, :], w2_ref[t],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         else:
+            # even + dot16 + bf16 chain: src IS the bf16 landing slab — the
+            # dots stream straight from it, no per-tile elementwise pass at
+            # all before the MXU (the leanest serving kernel form)
+            if dot16 and src.dtype == jnp.float32:
+                asd = src[:].astype(jnp.bfloat16)
+            else:
+                asd = src
             for t, sh in enumerate(g.shifts):
                 parts[t % 3] += lax.dot_general(
-                    src[off + sh:off + sh + n, :], w2_ref[t],
+                    asd[off + sh:off + sh + n, :], w2_ref[t],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         acc = parts[0] + parts[1] + parts[2]
@@ -663,7 +705,7 @@ def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
 
 
 def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None,
-                   valid_bounds=None):
+                   valid_bounds=None, dot16=None):
     """One act-space eval mid-layer: a_i -> a_{i+1} (both post-activation).
 
     a_flat: ((T+2)*n, 128) flat POST-activation input (bf16 or f32 chain —
@@ -672,14 +714,20 @@ def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None,
     w2s_flat: packed taps of ``w * s[out]`` where s is the layer's eval BN
     scale (gamma*rsqrt(running_var+eps)) — pack_kernel_odd or
     pack_kernel_flat of the pre-scaled kernel;
-    b_vec: (128,) tiled eval BN shift (beta - mean*s).
+    b_vec: (128,) tiled eval BN shift (beta - mean*s);
+    dot16: bf16 MXU dot operands (None -> F2F_DOT_BF16; see ``dot_bf16``).
+    With dot16 + a bf16 chain + the even form, the per-tile upcast slab is
+    dropped entirely and the dots stream straight from the landing slab.
     Returns (a_next_flat,) with the same dtype as ``a_flat``.
     """
+    dot16 = dot_bf16(dot16)
     ntap = 6 if odd else 9
     assert w2s_flat.shape[0] == ntap, (w2s_flat.shape, odd)
     assert not (stack is not None and valid_bounds is not None)
     cmask_tile, _ = _col_mask(g)
-    upcast = a_flat.dtype != jnp.float32
+    # upcast = build a separate f32 compute slab; unnecessary when the dots
+    # take bf16 operands anyway and no 32-bit roll is needed (even form)
+    upcast = a_flat.dtype != jnp.float32 and not (dot16 and not odd)
     dyn = valid_bounds is not None
     bvec = b_vec.astype(jnp.float32).reshape(1, 128)
 
@@ -690,7 +738,9 @@ def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None,
         pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((g.n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    ins = [a_flat, w2s_flat.astype(a_flat.dtype), bvec, cmask_tile]
+    ins = [a_flat,
+           w2s_flat.astype(jnp.bfloat16 if dot16 else a_flat.dtype),
+           bvec, cmask_tile]
     if dyn:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ins.append(jnp.asarray(valid_bounds, jnp.int32))
@@ -702,7 +752,7 @@ def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None,
 
     out, = pl.pallas_call(
         partial(_fwd_eval_kernel, g=g, odd=odd, stack=stack, upcast=upcast,
-                dyn_valid=dyn),
+                dyn_valid=dyn, dot16=dot16),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((g.n, 128), lambda i: (i, 0),
@@ -727,7 +777,7 @@ def _body_dma(hbm, dst, sems, j, slot, g, rows):
 
 
 def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
-                dyn_valid=False, stored_o=False):
+                dyn_valid=False, stored_o=False, dot16=False):
     rest = list(rest)
     o_hbm = rest.pop(0) if stored_o else None
     w2t_ref, vecs_ref, cmask_slab_ref = rest[:3]
@@ -793,6 +843,9 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
         relu_mask = ((zi * v[0, :] + v[1, :]) > 0.0).astype(jnp.float32)
         gt = gs[:].astype(jnp.float32) * relu_mask       # dL/dy
         dzs[:] = (v[0, :] * gt + v[2, :] * zi + v[3, :]) * vm
+        # bf16 dot-operand copy of the dz slab (dW slices below; and the even
+        # dX slices) — one astype pass buys the bf16 MXU rate on 6-12 dots
+        dzv = dzs[:].astype(jnp.bfloat16) if dot16 else None
 
         # dX: three partial accumulators break the serial add chain (see
         # forward kernel). Odd form: slide the odd slab of dz with the
@@ -806,6 +859,8 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # scratch — measured SLOWER (1.28 / 1.23 vs 1.15 ms/layer), so
             # dW keeps the oap x even-dz form below.
             odzs = _odd_slab(dzs[:])
+            if dot16:
+                odzs = odzs.astype(jnp.bfloat16)
             for t, sh in enumerate(g.odd_shifts):
                 ds = odzs[off + sh:off + sh + n, :]
                 parts[t % 3] += lax.dot_general(
@@ -813,7 +868,7 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
                     preferred_element_type=jnp.float32)
         else:
             for t, sh in enumerate(g.shifts):
-                ds = dzs[off - sh:off - sh + n, :]
+                ds = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
                 parts[t % 3] += lax.dot_general(
                     ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -826,9 +881,12 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # upcast+fma+max+mask and its odd slab with roll+roll+select
             # here, per element per tile; store_odd_act moves all of it to
             # one astype-store in the forward)
-            oap = oslab.at[slot][:].astype(jnp.float32)
+            # dot16: the stored slab is ALREADY bf16 — feed it straight to
+            # the MXU (the f32 path pays an upcast pass here)
+            oap = (oslab.at[slot][:] if dot16
+                   else oslab.at[slot][:].astype(jnp.float32))
             for t, sh in enumerate(g.odd_shifts):
-                dsl = dzs[off - sh:off - sh + n, :]
+                dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
                 dw2_ref[t] += lax.dot_general(
                     oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -858,16 +916,19 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # a_prev (one extra interior row feeds lane half 1) against the
             # even dz SCRATCH slices
             oap = _odd_slab(aps[:])[:n, :]
+            if dot16:
+                oap = oap.astype(jnp.bfloat16)
             for t, sh in enumerate(g.odd_shifts):
-                dsl = dzs[off - sh:off - sh + n, :]
+                dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
                 dw2_ref[t] += lax.dot_general(
                     oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         else:
+            apv = ap_int.astype(jnp.bfloat16) if dot16 else ap_int
             for t, sh in enumerate(g.shifts):
-                dsl = dzs[off - sh:off - sh + n, :]
+                dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
                 dw2_ref[t] += lax.dot_general(
-                    ap_int, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                    apv, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
         if not first_layer:
@@ -893,7 +954,8 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
 
 
 def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
-              first_layer=False, odd=False, valid_bounds=None, o_flat=None):
+              first_layer=False, odd=False, valid_bounds=None, o_flat=None,
+              dot16=None):
     """One fused mid-layer backward pass.
 
     g_flat: cotangent of a_i (this layer's post-ReLU output) in flat layout;
@@ -907,11 +969,13 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
     ``fwd_layer``);
     o_flat: optional stored odd activation slab of a_prev (the forward's
     ``emit_act`` output, store_odd_act path; odd mode only) — replaces the
-    in-kernel a_prev rebuild for dW.
+    in-kernel a_prev rebuild for dW;
+    dot16: bf16 MXU dot operands (None -> F2F_DOT_BF16; see ``dot_bf16``).
 
     Returns (da_prev_flat bf16, dw (ntap,128,128) f32 — fold with fold_dw2
     or fold_dw6 per mode — and stats_prev (2,128) f32).
     """
+    dot16 = dot_bf16(dot16)
     ntap = 6 if odd else 9
     assert w2t_flat.shape[0] == ntap, (w2t_flat.shape, odd)
     stored_o = o_flat is not None
@@ -936,7 +1000,8 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             pl.BlockSpec((g.slab, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
     ]
-    ins += [w2t_flat.astype(g_flat.dtype), vecs, cmask_slab]
+    ins += [w2t_flat.astype(jnp.bfloat16 if dot16 else g_flat.dtype),
+            vecs, cmask_slab]
     if dyn:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ins.append(jnp.asarray(valid_bounds, jnp.int32))
@@ -970,7 +1035,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
 
     da, dw2, stats = pl.pallas_call(
         partial(_bwd_kernel, g=g, first_layer=first_layer, odd=odd,
-                dyn_valid=dyn, stored_o=stored_o),
+                dyn_valid=dyn, stored_o=stored_o, dot16=dot16),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=[

@@ -435,3 +435,95 @@ def test_denoise_batch_overbudget_falls_back(monkeypatch):
     monkeypatch.setattr(fa, "can_fuse_batch", lambda *a, **kw: False)
     y_fb = np.asarray(eng.denoise_batch(frames, route="stacked"))
     np.testing.assert_allclose(y_fb, y_ref, rtol=1e-5, atol=1e-6)
+
+
+def _cosine(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+
+
+def test_dot_bf16_tracks_f32(monkeypatch):
+    """F2F_DOT_BF16 (bf16 MXU dot operands, f32 accumulation): outputs stay
+    within bf16-rounding distance of the f32-operand pipeline and gradients
+    stay directionally aligned. Rounding only enters at the dot operands —
+    inter-layer storage here is f32 — so the delta is pure operand
+    quantization, bounded ~2^-8 relative per layer and compounded through
+    BN renormalization across L=3 layers."""
+    H, W, L = 12, 32, 3
+    ws, gammas, betas, a1 = make_inputs(L=L, H=H, W=W, seed=3)
+    rng = np.random.default_rng(4)
+    gref = jnp.asarray(rng.standard_normal((1, H, W, 64)), jnp.float32)
+
+    def loss(ws, gammas, betas, a1):
+        out, _, _ = fused_mid_stack(ws, gammas, betas, pack_image(a1), H, 8,
+                                    jnp.float32)
+        return jnp.sum(unpack_image(out) * gref)
+
+    def run():
+        out, m, v = fused_mid_stack(ws, gammas, betas, pack_image(a1), H, 8,
+                                    jnp.float32)
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(ws, gammas, betas, a1)
+        return unpack_image(out), m, v, grads
+
+    monkeypatch.delenv("F2F_DOT_BF16", raising=False)
+    out32, m32, v32, g32 = run()
+    monkeypatch.setenv("F2F_DOT_BF16", "1")
+    out16, m16, v16, g16 = run()
+
+    # the mode actually engaged
+    assert float(jnp.abs(out16 - out32).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.0, atol=8e-2)
+    np.testing.assert_allclose(np.asarray(m16), np.asarray(m32),
+                               rtol=0.0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
+                               rtol=3e-2, atol=2e-2)
+    # gradients: a handful of entries can differ by O(1) relative — forward
+    # operand rounding flips near-zero ReLU masks, discretely rerouting those
+    # entries' gradients (inherent to mixed precision, not a kernel bug) —
+    # so assert global alignment plus a tail bound instead of elementwise
+    # closeness: direction (cosine), magnitude (norm ratio), and — only on
+    # tensors large enough that a 0.999 quantile isn't just the max (the
+    # per-channel dgamma/dbeta have <=L*128 entries, each a whole-image
+    # reduction where one flipped mask moves the entry O(1)) — the 99.9th
+    # percentile of the max-scaled deviation
+    for name, r, f in zip(["dW", "dgamma", "dbeta", "da1"], g32, g16):
+        assert _cosine(r, f) > 0.995, name
+        rn = np.linalg.norm(np.asarray(r, np.float64))
+        fn = np.linalg.norm(np.asarray(f, np.float64))
+        assert 0.95 < fn / (rn + 1e-30) < 1.05, (name, fn, rn)
+        if np.asarray(r).size < 10_000:
+            continue
+        scale = float(np.abs(np.asarray(r)).max()) + 1e-8
+        d = np.abs(np.asarray(f, np.float64) - np.asarray(r, np.float64))
+        assert np.quantile(d, 0.999) / scale < 0.15, (
+            name, np.quantile(d, 0.999) / scale)
+
+
+def test_dot_bf16_eval_matches_model(monkeypatch):
+    """F2F_DOT_BF16 on the serving kernels: both eval impls (affine chain and
+    act chain) and both formulations stay within bf16 tolerance of
+    model.apply(train=False)."""
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.fused_apply import fused_eval_apply
+
+    H, W = 13, 20
+    model, variables = init_dncnn(jax.random.PRNGKey(7), channels=1,
+                                  num_layers=5, conv_impl="packed",
+                                  spatial=(H, W))
+    bs = jax.tree_util.tree_map(lambda v: v + 0.03, variables["batch_stats"])
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((1, H, W, 1)), jnp.float32)
+    y_ref = model.apply({"params": variables["params"], "batch_stats": bs},
+                        x, train=False)
+
+    monkeypatch.setenv("F2F_DOT_BF16", "1")
+    for impl in ("affine", "act"):
+        for conv in ("odd", "even"):
+            y = fused_eval_apply(model, variables["params"], bs, x,
+                                 store_dtype=jnp.float32, conv=conv,
+                                 eval_impl=impl)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       rtol=0.03, atol=0.02,
+                                       err_msg=f"{impl} {conv}")
