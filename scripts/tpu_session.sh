@@ -9,7 +9,8 @@
 #                      own bench run will hit)
 #   2. kernels       — fused fwd/bwd kernel probe at tile_h 8 and 16
 #                      (stored-O freed VMEM; VERDICT task 2d re-rank)
-#   3. ab            — full-step A/Bs: F2F_STORE_O=0/1, F2F_TILE_H=16
+#   3. ab            — full-step A/Bs: F2F_STORE_O=0/1, F2F_TILE_H=16,
+#                      F2F_DOT_BF16=1 (bf16 MXU dot operands; commit dd41962)
 #   4. artifact      — accuracy artifact: 17-layer sigma=25 pretrain,
 #                      300-frame 540p PSNR trajectory, torch-oracle deviation
 #
@@ -63,6 +64,21 @@ timeout 3000 python scripts/perf_probe.py --impls fused --step-only \
   > "$LOG/ab_default.log" 2>&1
 note "default rc=$? $(grep -h 'step\[' "$LOG/ab_default.log" | tail -1)"
 
+note "phase 3f: step A/B dot16 (bf16 MXU operands)"
+timeout 3000 env F2F_DOT_BF16=1 python scripts/perf_probe.py \
+  --impls fused --step-only > "$LOG/ab_dot16.log" 2>&1
+note "dot16 rc=$? $(grep -h 'step\[' "$LOG/ab_dot16.log" | tail -1)"
+
+note "phase 3g: step A/B dot16 + tile_h=16 (lower per-dot overhead at th16)"
+timeout 3000 env F2F_DOT_BF16=1 F2F_TILE_H=16 python scripts/perf_probe.py \
+  --impls fused --step-only > "$LOG/ab_dot16_th16.log" 2>&1
+note "dot16th16 rc=$? $(grep -h 'step\[' "$LOG/ab_dot16_th16.log" | tail -1)"
+
+note "phase 3h: kernel probe dot16 (per-layer fwd/bwd split)"
+timeout 3000 env F2F_DOT_BF16=1 python scripts/perf_probe.py --kernels-only \
+  --tile-h 8,16 > "$LOG/kernels_dot16.log" 2>&1
+note "kernels_dot16 rc=$?"
+
 note "phase 3d: serving eval-impl A/B (affine vs act kernels)"
 timeout 3000 python scripts/perf_probe.py --serving-only \
   > "$LOG/ab_serving.log" 2>&1
@@ -72,6 +88,11 @@ note "phase 3e: serving eval-impl A/B at 1080p"
 timeout 3000 python scripts/perf_probe.py --serving-only --hw 1080x1920 \
   > "$LOG/ab_serving_1080.log" 2>&1
 note "serving1080 rc=$? $(grep -h 'serving\[' "$LOG/ab_serving_1080.log" | tr '\n' ' ')"
+
+note "phase 3i: serving A/B dot16"
+timeout 3000 env F2F_DOT_BF16=1 python scripts/perf_probe.py --serving-only \
+  > "$LOG/ab_serving_dot16.log" 2>&1
+note "serving_dot16 rc=$? $(grep -h 'serving\[' "$LOG/ab_serving_dot16.log" | tr '\n' ' ')"
 
 note "phase 4a: artifact pretrain"
 timeout 5800 python scripts/accuracy_artifact.py pretrain \
