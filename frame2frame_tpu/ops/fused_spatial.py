@@ -62,6 +62,7 @@ from .fused_stack import (
     bwd_odd,
     fwd_odd,
     store_odd_act,
+    dot_bf16,
     EPS,
 )
 
@@ -125,6 +126,7 @@ def _fwd_local(ws, gammas, betas, a1_loc, *, g, H_true, n_shards,
     L = ws.shape[0]
     odd = fwd_odd(conv)
     store_o = store_odd_act(conv)
+    dot16 = dot_bf16(default=True)  # training default: see dot_bf16
     count = float(2 * H_true * g.W2)  # GLOBAL pixel count per channel
     vb = _valid_bounds(g, H_true, n_shards)
 
@@ -137,7 +139,7 @@ def _fwd_local(ws, gammas, betas, a1_loc, *, g, H_true, n_shards,
         w2 = pack_kernel_odd(ws[i]) if odd else pack_kernel_flat(ws[i])
         svecs.append(s_vec); bvecs.append(b_vec)
         outs = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd,
-                         valid_bounds=vb, emit_act=store_o)
+                         valid_bounds=vb, emit_act=store_o, dot16=dot16)
         if store_o:
             # the stored odd slab covers tile-owned BODY rows only, which is
             # exactly what bwd's dW reads — no halo exchange needed for it
@@ -174,6 +176,7 @@ def _bwd_local(ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means,
     L = ws.shape[0]
     odd = bwd_odd(conv)
     store_o = store_odd_act(conv)
+    dot16 = dot_bf16(default=True)  # training default: see dot_bf16
     o_stack = o_stack_opt[0] if store_o else None
     count = float(2 * H_true * g.W2)
     vb = _valid_bounds(g, H_true, n_shards)
@@ -218,7 +221,8 @@ def _bwd_local(ws, gammas, betas, a_flat, z_stack, svecs, bvecs, means,
         da, dw2, stats = bwd_layer(gx, z_stack[i], zprev, w2t, vecs, g,
                                    first_layer=(i == 0), odd=odd,
                                    valid_bounds=vb,
-                                   o_flat=o_stack[i] if store_o else None)
+                                   o_flat=o_stack[i] if store_o else None,
+                                   dot16=dot16)
         dw2 = lax.psum(dw2, AXIS)
         dws[i] = fold_dw6(dw2) if odd else fold_dw2(dw2)
         dgammas[i] = dgamma

@@ -56,6 +56,17 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def _ablate():
+    """TIMING-ONLY kernel ablations: ``F2F_ABLATE`` = comma list of
+    {``nomask``, ``noodd``, ``nostats``, ``nodot``} skips the named
+    per-element pass in the fused kernels to bound the yield of the
+    corresponding candidate optimization (round-3 verdict task 2: each
+    candidate needs a measured number or a measured refutation). Outputs
+    are WRONG with any ablation active — set this only in perf probes,
+    never in a real run (the probe scripts own it)."""
+    return frozenset(filter(None, os.environ.get("F2F_ABLATE", "").split(",")))
+
+
 def conv_mode(conv=None):
     """Conv formulation in {"hybrid", "odd", "even"}.
 
@@ -125,24 +136,44 @@ def use_odd(conv=None):
     return conv_mode(conv) != "even"
 
 
-def dot_bf16(flag=None):
-    """MXU dot operands in bf16 (``F2F_DOT_BF16=1``; default f32).
+def dot_bf16(flag=None, default=False):
+    """MXU dot operands explicitly downcast to bf16 (``F2F_DOT_BF16``).
 
-    The slabs feeding the dots are f32 today (affine/dz epilogues compute in
-    f32, and pltpu.roll — the odd-slab build — only takes 32-bit dtypes), so
-    every dot runs at the MXU's f32 rate. Round-3 measured per-dot compute
-    ~0.6 us at tile_h=8 — almost exactly 2x the bf16 ideal (~0.32 us for
-    n=3856 x 128 @ 128 x 128 on v5e's 197 bf16 TFLOPs), i.e. the dots pay the
-    f32 multi-pass penalty. This mode downcasts operand values to bf16 right
-    before the dots (one extra VPU astype pass per slab; accumulation stays
-    f32 via preferred_element_type), trading ~0.15 us of VPU per tile for
-    ~50% of the serial MXU term. Precision: activations and propagated
-    gradients ALREADY round-trip through bf16 HBM slabs between layers, so
-    operand rounding adds no new error class; dW accumulates in f32.
+    Measured facts (540p, th=8, v5e, round 4):
+
+    - **Outputs are bit-identical either way.** Mosaic feeds the MXU bf16
+      operands even for f32 slabs (JAX's DEFAULT dot precision truncates
+      f32 operands on TPU), so the explicit astype changes no values — a
+      kernel-level A/B of z AND the f32 stat sums showed max-abs-diff 0.0.
+      This switch is therefore purely a performance knob.
+    - Step: 31.2 -> 29.8 ms/iter (-4.5%). The win is NOT the dot rate (the
+      MXU already ran at the bf16 rate); pre-truncating the slab once
+      halves the dots' VMEM operand reads (f32 -> bf16 width) across the
+      6 merged-tap dots, and lets the stored-o backward feed the stored
+      bf16 slab straight to the MXU with no upcast (bwd stored_o 1.187 ->
+      1.105 ms/layer).
+    - Eval kernels REGRESS slightly (fwd eval 0.718 -> 0.745 ms/layer):
+      the stats-free eval chain has fewer dots per byte of astype, so the
+      extra VPU pass outweighs the operand-read saving.
+
+    Hence per-path defaults: the training pipeline (_fused_fwd/_fused_bwd
+    and the spatial variant) passes ``default=True``; the eval/serving
+    chains keep ``default=False``. Setting ``F2F_DOT_BF16`` (``1``/``0``)
+    overrides BOTH paths for A/B probes; an explicit ``flag`` wins over
+    everything.
+
+    Interpret mode (CPU tests) keeps the default OFF: XLA-CPU computes
+    real f32 dots, so there the astype WOULD round — flipping it by
+    default would loosen the tight f32 logic-oracle parity tests for no
+    modeling gain (the TPU truncates either way). The dedicated dot16
+    tests opt in via the env to cover the dot16 slab-handling paths.
     """
     if flag is not None:
         return bool(flag)
-    return os.environ.get("F2F_DOT_BF16", "0") == "1"
+    env = os.environ.get("F2F_DOT_BF16")
+    if env is not None:
+        return env == "1"
+    return default and not _interpret()
 
 
 # ---------------------------------------------------------------------------
@@ -405,7 +436,7 @@ def _slab_dma(hbm, slabs, sems, j, slot, g):
 
 def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
                 *rest, g, odd, dyn_valid=False, stack=None, emit_act=False,
-                emit_stats=True, dot16=False):
+                emit_stats=True, dot16=False, abl=frozenset()):
     rest = list(rest)
     if dyn_valid:
         # spatial sharding (ops/fused_spatial.py): the row-validity window is
@@ -464,8 +495,10 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         if stack is not None:
             vb = vb & frame_valid()
         valid = vb.astype(jnp.float32)
-        as_[:] = (jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
-                  * (valid * cmask_slab_ref[:]))
+        act = jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
+        if "nomask" not in abl:  # timing-only ablation, see _ablate
+            act = act * (valid * cmask_slab_ref[:])
+        as_[:] = act
 
         # three independent partial accumulators break the serial add chain
         # between consecutive dots so the MXU pipeline stays full.
@@ -475,7 +508,7 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         # this form 0.79 ms/layer at 540p)
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         if odd:
-            os_ = _odd_slab(as_[:])
+            os_ = as_[:] if "noodd" in abl else _odd_slab(as_[:])
             if dot16:
                 # bf16 dot operands: one astype pass over the slab buys the
                 # MXU's bf16 rate on all 6 dots (see dot_bf16). The roll
@@ -486,21 +519,25 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
                 # backward consumes it by DMA instead of rebuilding a_prev +
                 # its odd slab (store_odd_act) — one astype-store per tile
                 o_out[:] = os_[off:off + n, :].astype(o_out.dtype)
-            for t, sh in enumerate(g.odd_shifts):
-                xs = os_[off + sh:off + sh + n, :]
-                parts[t % 3] += lax.dot_general(
-                    xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if "nodot" not in abl:  # timing-only ablation, see _ablate
+                for t, sh in enumerate(g.odd_shifts):
+                    xs = os_[off + sh:off + sh + n, :]
+                    parts[t % 3] += lax.dot_general(
+                        xs, w2_ref[t],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         else:
             asd = as_[:].astype(jnp.bfloat16) if dot16 else None
-            for t, sh in enumerate(g.shifts):
-                xs = (asd if dot16 else as_)[off + sh:off + sh + n, :]
-                parts[t % 3] += lax.dot_general(
-                    xs, w2_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if "nodot" not in abl:
+                for t, sh in enumerate(g.shifts):
+                    xs = (asd if dot16 else as_)[off + sh:off + sh + n, :]
+                    parts[t % 3] += lax.dot_general(
+                        xs, w2_ref[t],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         acc = parts[0] + parts[1] + parts[2]
         z_out[:] = acc.astype(z_out.dtype)
-        if emit_stats:
+        if emit_stats and "nostats" not in abl:
             # stats over valid interior positions (pad cols masked; trailing
             # H-pad rows produce acc==0 since their inputs were masked to 0,
             # except boundary leakage rows — mask them too)
@@ -590,7 +627,8 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
 
     outs = pl.pallas_call(
         partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn, stack=stack,
-                emit_act=emit_act, emit_stats=emit_stats, dot16=dot16),
+                emit_act=emit_act, emit_stats=emit_stats, dot16=dot16,
+                abl=_ablate()),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -777,7 +815,8 @@ def _body_dma(hbm, dst, sems, j, slot, g, rows):
 
 
 def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
-                dyn_valid=False, stored_o=False, dot16=False):
+                dyn_valid=False, stored_o=False, dot16=False,
+                abl=frozenset()):
     rest = list(rest)
     o_hbm = rest.pop(0) if stored_o else None
     w2t_ref, vecs_ref, cmask_slab_ref = rest[:3]
@@ -842,7 +881,10 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
         zi = zis[:].astype(jnp.float32)
         relu_mask = ((zi * v[0, :] + v[1, :]) > 0.0).astype(jnp.float32)
         gt = gs[:].astype(jnp.float32) * relu_mask       # dL/dy
-        dzs[:] = (v[0, :] * gt + v[2, :] * zi + v[3, :]) * vm
+        dz_val = v[0, :] * gt + v[2, :] * zi + v[3, :]
+        if "nomask" not in abl:  # timing-only ablation, see _ablate
+            dz_val = dz_val * vm
+        dzs[:] = dz_val
         # bf16 dot-operand copy of the dz slab (dW slices below; and the even
         # dX slices) — one astype pass buys the bf16 MXU rate on 6-12 dots
         dzv = dzs[:].astype(jnp.bfloat16) if dot16 else None
@@ -858,20 +900,24 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # (dX). Adding the dW dots as 6 more consumers — value or
             # scratch — measured SLOWER (1.28 / 1.23 vs 1.15 ms/layer), so
             # dW keeps the oap x even-dz form below.
-            odzs = _odd_slab(dzs[:])
+            odzs = dzs[:] if "noodd" in abl else _odd_slab(dzs[:])
             if dot16:
                 odzs = odzs.astype(jnp.bfloat16)
-            for t, sh in enumerate(g.odd_shifts):
-                ds = odzs[off + sh:off + sh + n, :]
-                parts[t % 3] += lax.dot_general(
-                    ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if "nodot" not in abl:
+                for t, sh in enumerate(g.odd_shifts):
+                    ds = odzs[off + sh:off + sh + n, :]
+                    parts[t % 3] += lax.dot_general(
+                        ds, w2t_ref[t],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         else:
-            for t, sh in enumerate(g.shifts):
-                ds = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
-                parts[t % 3] += lax.dot_general(
-                    ds, w2t_ref[t], dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if "nodot" not in abl:
+                for t, sh in enumerate(g.shifts):
+                    ds = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
+                    parts[t % 3] += lax.dot_general(
+                        ds, w2t_ref[t],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         acc = parts[0] + parts[1] + parts[2]
         da_out[:] = acc.astype(da_out.dtype)
 
@@ -885,12 +931,13 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # the MXU (the f32 path pays an upcast pass here)
             oap = (oslab.at[slot][:] if dot16
                    else oslab.at[slot][:].astype(jnp.float32))
-            for t, sh in enumerate(g.odd_shifts):
-                dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
-                dw2_ref[t] += lax.dot_general(
-                    oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            if not first_layer:
+            if "nodot" not in abl:
+                for t, sh in enumerate(g.odd_shifts):
+                    dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
+                    dw2_ref[t] += lax.dot_general(
+                        oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            if not first_layer and "nostats" not in abl:
                 # epilogue: BN-backward reductions for layer i-1 — needs the
                 # even-layout a_prev mask and zhat_prev, from z_prev body rows
                 zpc = zps[:].astype(jnp.float32)
@@ -908,30 +955,35 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
         # scratch drop its halo (dz already has one)
         aps = apslab.at[slot]
         zpc = zps[off:off + n + ALIGN, :].astype(jnp.float32)
-        aps[:] = (jnp.maximum(zpc * v[4, :] + v[5, :], 0.0)
-                  * vm[off:off + n + ALIGN, :])
+        ap_val = jnp.maximum(zpc * v[4, :] + v[5, :], 0.0)
+        if "nomask" not in abl:  # timing-only ablation, see _ablate
+            ap_val = ap_val * vm[off:off + n + ALIGN, :]
+        aps[:] = ap_val
         ap_int = aps[0:n, :]
         if odd:
             # dM[t] = sum_r O_ap[r] (x) dz[r - odd_shift_t]: odd slab of
             # a_prev (one extra interior row feeds lane half 1) against the
             # even dz SCRATCH slices
-            oap = _odd_slab(aps[:])[:n, :]
+            oap = (aps[:][:n, :] if "noodd" in abl
+                   else _odd_slab(aps[:])[:n, :])
             if dot16:
                 oap = oap.astype(jnp.bfloat16)
-            for t, sh in enumerate(g.odd_shifts):
-                dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
-                dw2_ref[t] += lax.dot_general(
-                    oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if "nodot" not in abl:
+                for t, sh in enumerate(g.odd_shifts):
+                    dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
+                    dw2_ref[t] += lax.dot_general(
+                        oap, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         else:
             apv = ap_int.astype(jnp.bfloat16) if dot16 else ap_int
-            for t, sh in enumerate(g.shifts):
-                dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
-                dw2_ref[t] += lax.dot_general(
-                    apv, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if "nodot" not in abl:
+                for t, sh in enumerate(g.shifts):
+                    dsl = (dzv if dot16 else dzs)[off - sh:off - sh + n, :]
+                    dw2_ref[t] += lax.dot_general(
+                        apv, dsl, dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-        if not first_layer:
+        if not first_layer and "nostats" not in abl:
             # epilogue: BN-backward reductions for layer i-1 from the da we
             # just produced: sum(gt_prev), sum(gt_prev * zhat_prev)
             m = (cmask_slab_ref[off:off + n, :] * valid[off:off + n, :])
@@ -1035,7 +1087,8 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
 
     da, dw2, stats = pl.pallas_call(
         partial(_bwd_kernel, g=g, first_layer=first_layer, odd=odd,
-                dyn_valid=dyn, stored_o=stored_o, dot16=dot16),
+                dyn_valid=dyn, stored_o=stored_o, dot16=dot16,
+                abl=_ablate()),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=[
@@ -1096,6 +1149,7 @@ def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
     L = ws.shape[0]
     odd = fwd_odd(conv)
     store_o = store_odd_act(conv)
+    dot16 = dot_bf16(default=True)  # training default: see dot_bf16
     g = Geom(H, a1.shape[2], tile_h)
     a_flat = to_flat(a1.astype(store_dtype), g)
 
@@ -1107,7 +1161,7 @@ def _fused_fwd(ws, gammas, betas, a1, H, tile_h,
         w2 = pack_kernel_odd(ws[i]) if odd else pack_kernel_flat(ws[i])
         svecs.append(s_vec); bvecs.append(b_vec)
         outs = fwd_layer(cur, w2, s_vec, b_vec, g, odd=odd,
-                         emit_act=store_o)
+                         emit_act=store_o, dot16=dot16)
         if store_o:
             z, o, stats = outs
             o_list.append(o)
@@ -1138,6 +1192,7 @@ def _fused_bwd(H, tile_h, store_dtype, conv, res, cts):
     L = ws.shape[0]
     odd = bwd_odd(conv)
     store_o = store_odd_act(conv)
+    dot16 = dot_bf16(default=True)  # training default: see dot_bf16
     g = Geom(H, da_out.shape[2], tile_h)
 
     # cotangent of z_L through the final BN+ReLU, reduced in FLAT space (the
@@ -1178,7 +1233,8 @@ def _fused_bwd(H, tile_h, store_dtype, conv, res, cts):
         zprev = z_list[i - 1] if i > 0 else a_flat
         da, dw2, stats = bwd_layer(g_flat, z_list[i], zprev, w2t, vecs, g,
                                    first_layer=(i == 0), odd=odd,
-                                   o_flat=o_list[i] if store_o else None)
+                                   o_flat=o_list[i] if store_o else None,
+                                   dot16=dot16)
         dws[i] = fold_dw6(dw2) if odd else fold_dw2(dw2)
         dgammas[i] = dgamma
         dbetas[i] = dbeta
