@@ -411,6 +411,37 @@ def _odd_slab(e):
     return jnp.where(lane < 64, r0, r1)
 
 
+def _odd_slab_cat(e):
+    """``_odd_slab`` as static slice+concat instead of roll+roll+select —
+    dtype-agnostic (``pltpu.roll`` is 32-bit only), so the build can run
+    directly on bf16 data at half the VPU data volume, and on an operand
+    that is ALREADY the bf16 dot copy (dot16 mode) instead of building in
+    f32 and downcasting the full odd slab afterwards. Value-identical to
+    ``_odd_slab`` including the never-read wrap-garbage last row
+    (``e[:1]`` wraps to the end exactly as the row-roll does)."""
+    ro = jnp.concatenate([e[1:], e[:1]], axis=0)        # row r+1 view
+    return jnp.concatenate([e[:, 64:], ro[:, :64]], axis=1)
+
+
+def odd_cat():
+    """Odd-slab build formulation: ``F2F_ODD_CAT=1`` selects the
+    slice+concat build (``_odd_slab_cat``) over roll+roll+select
+    (``_odd_slab``) in all fused kernels. Timing-only switch — the two
+    builds produce bit-identical values (verified on hardware, all modes).
+
+    Default OFF: measured and REFUTED on v5e (540p, th=8, interleaved
+    scan-timed A/B, best-of-2): despite touching ~40% less data (the cat
+    build runs directly on the existing bf16 dot copy instead of building
+    in f32 and downcasting the full odd slab), it is consistently ~1-5%
+    slower everywhere — train fwd 0.975 -> 0.984 ms/layer (dot16),
+    train bwd 1.305 -> 1.367, and even the eval kernel where cat
+    additionally eliminates the entire per-tile f32 upcast slab
+    (bf16 chain: 0.888 -> 0.897). Mosaic lowers the lane/sublane concats
+    to more VPU work than roll+select; the odd-slab build is not the
+    binding term at this tile size. Kept as a probe switch."""
+    return os.environ.get("F2F_ODD_CAT", "0") != "0"
+
+
 def tile_vec(v):
     """(64,) -> (128,) duplicated across the two packing parities."""
     return jnp.concatenate([v, v])
@@ -436,7 +467,7 @@ def _slab_dma(hbm, slabs, sems, j, slot, g):
 
 def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
                 *rest, g, odd, dyn_valid=False, stack=None, emit_act=False,
-                emit_stats=True, dot16=False, abl=frozenset()):
+                emit_stats=True, dot16=False, cat=False, abl=frozenset()):
     rest = list(rest)
     if dyn_valid:
         # spatial sharding (ops/fused_spatial.py): the row-validity window is
@@ -508,11 +539,18 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         # this form 0.79 ms/layer at 540p)
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         if odd:
-            os_ = as_[:] if "noodd" in abl else _odd_slab(as_[:])
-            if dot16:
-                # bf16 dot operands: one astype pass over the slab buys the
-                # MXU's bf16 rate on all 6 dots (see dot_bf16). The roll
-                # above must stay f32 (pltpu.roll is 32-bit only).
+            # bf16 dot operands (dot16): one astype pass over the slab buys
+            # the MXU's bf16 rate on all 6 dots (see dot_bf16). The cat
+            # build runs directly on the bf16 copy; the roll build must
+            # stay f32 (pltpu.roll is 32-bit only) and downcast after.
+            if "noodd" in abl:
+                os_ = as_[:]
+            elif cat:
+                os_ = _odd_slab_cat(
+                    as_[:].astype(jnp.bfloat16) if dot16 else as_[:])
+            else:
+                os_ = _odd_slab(as_[:])
+            if dot16 and os_.dtype != jnp.bfloat16:
                 os_ = os_.astype(jnp.bfloat16)
             if emit_act:
                 # emit the odd activation slab this kernel built anyway: the
@@ -628,7 +666,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
     outs = pl.pallas_call(
         partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn, stack=stack,
                 emit_act=emit_act, emit_stats=emit_stats, dot16=dot16,
-                abl=_ablate()),
+                cat=odd_cat(), abl=_ablate()),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -659,7 +697,8 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
 
 
 def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
-                     stack=None, upcast=True, dyn_valid=False, dot16=False):
+                     stack=None, upcast=True, dyn_valid=False, dot16=False,
+                     cat=False):
     rest = list(rest)
     if dyn_valid:
         # spatially sharded serving: shard-local row-validity window as SMEM
@@ -691,11 +730,20 @@ def _fwd_eval_kernel(a_hbm, w2_ref, bvec_ref, cmask_ref, *rest, g, odd,
         src = fslab.at[slot]
         parts = [jnp.zeros((n, 128), jnp.float32) for _ in range(3)]
         if odd:
-            # the roll must run in 32 bits (pltpu.roll); dot16 downcasts the
-            # rolled slab right before the 6 dots
-            os_ = _odd_slab(src[:])
-            if dot16:
-                os_ = os_.astype(jnp.bfloat16)
+            # roll build: 32 bits only (pltpu.roll), dot16 downcasts the
+            # rolled slab right before the 6 dots. cat build: runs at the
+            # slab's own dtype — with a bf16 chain + dot16 the odd slab is
+            # built straight from the bf16 landing slab (upcast=False,
+            # no per-tile f32 pass at all)
+            if cat:
+                src_v = src[:]
+                if dot16 and src_v.dtype == jnp.float32:
+                    src_v = src_v.astype(jnp.bfloat16)
+                os_ = _odd_slab_cat(src_v)
+            else:
+                os_ = _odd_slab(src[:])
+                if dot16:
+                    os_ = os_.astype(jnp.bfloat16)
             for t, sh in enumerate(g.odd_shifts):
                 parts[t % 3] += lax.dot_general(
                     os_[off + sh:off + sh + n, :], w2_ref[t],
@@ -764,8 +812,11 @@ def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None,
     assert not (stack is not None and valid_bounds is not None)
     cmask_tile, _ = _col_mask(g)
     # upcast = build a separate f32 compute slab; unnecessary when the dots
-    # take bf16 operands anyway and no 32-bit roll is needed (even form)
-    upcast = a_flat.dtype != jnp.float32 and not (dot16 and not odd)
+    # take bf16 operands anyway and no 32-bit roll is needed (even form, or
+    # the odd form with the dtype-agnostic cat build)
+    cat = odd_cat()
+    upcast = a_flat.dtype != jnp.float32 and not (
+        dot16 and (not odd or cat))
     dyn = valid_bounds is not None
     bvec = b_vec.astype(jnp.float32).reshape(1, 128)
 
@@ -790,7 +841,7 @@ def fwd_layer_eval(a_flat, w2s_flat, b_vec, g, odd=True, stack=None,
 
     out, = pl.pallas_call(
         partial(_fwd_eval_kernel, g=g, odd=odd, stack=stack, upcast=upcast,
-                dyn_valid=dyn, dot16=dot16),
+                dyn_valid=dyn, dot16=dot16, cat=cat),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((g.n, 128), lambda i: (i, 0),
@@ -815,7 +866,7 @@ def _body_dma(hbm, dst, sems, j, slot, g, rows):
 
 
 def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
-                dyn_valid=False, stored_o=False, dot16=False,
+                dyn_valid=False, stored_o=False, dot16=False, cat=False,
                 abl=frozenset()):
     rest = list(rest)
     o_hbm = rest.pop(0) if stored_o else None
@@ -900,9 +951,16 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # (dX). Adding the dW dots as 6 more consumers — value or
             # scratch — measured SLOWER (1.28 / 1.23 vs 1.15 ms/layer), so
             # dW keeps the oap x even-dz form below.
-            odzs = dzs[:] if "noodd" in abl else _odd_slab(dzs[:])
-            if dot16:
-                odzs = odzs.astype(jnp.bfloat16)
+            if "noodd" in abl:
+                odzs = dzv if dot16 else dzs[:]
+            elif cat:
+                # the cat build consumes the EXISTING bf16 dot copy (dzv) —
+                # the roll build pays 3 f32 passes + a full-odd-slab astype
+                odzs = _odd_slab_cat(dzv if dot16 else dzs[:])
+            else:
+                odzs = _odd_slab(dzs[:])
+                if dot16:
+                    odzs = odzs.astype(jnp.bfloat16)
             if "nodot" not in abl:
                 for t, sh in enumerate(g.odd_shifts):
                     ds = odzs[off + sh:off + sh + n, :]
@@ -964,9 +1022,14 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # dM[t] = sum_r O_ap[r] (x) dz[r - odd_shift_t]: odd slab of
             # a_prev (one extra interior row feeds lane half 1) against the
             # even dz SCRATCH slices
-            oap = (aps[:][:n, :] if "noodd" in abl
-                   else _odd_slab(aps[:])[:n, :])
-            if dot16:
+            if "noodd" in abl:
+                oap = aps[:][:n, :]
+            elif cat:
+                oap = _odd_slab_cat(
+                    aps[:].astype(jnp.bfloat16) if dot16 else aps[:])[:n, :]
+            else:
+                oap = _odd_slab(aps[:])[:n, :]
+            if dot16 and oap.dtype != jnp.bfloat16:
                 oap = oap.astype(jnp.bfloat16)
             if "nodot" not in abl:
                 for t, sh in enumerate(g.odd_shifts):
@@ -1088,7 +1151,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
     da, dw2, stats = pl.pallas_call(
         partial(_bwd_kernel, g=g, first_layer=first_layer, odd=odd,
                 dyn_valid=dyn, stored_o=stored_o, dot16=dot16,
-                abl=_ablate()),
+                cat=odd_cat(), abl=_ablate()),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=[

@@ -527,3 +527,37 @@ def test_dot_bf16_eval_matches_model(monkeypatch):
             np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                        rtol=0.03, atol=0.02,
                                        err_msg=f"{impl} {conv}")
+
+
+def test_odd_cat_build_bit_identical(monkeypatch):
+    """F2F_ODD_CAT (slice+concat odd-slab build) is a timing-only switch:
+    forward values, BN stats, and every gradient group must be BIT-identical
+    to the default roll+roll+select build, in both dot-operand modes.
+    (The switch itself is measured-refuted on v5e and defaults off — see
+    fused_stack.odd_cat — but it must stay semantically exact while it
+    exists as a probe.)"""
+    H, W, L = 12, 32, 3
+    ws, gammas, betas, a1 = make_inputs(L=L, H=H, W=W, seed=11)
+    rng = np.random.default_rng(12)
+    gref = jnp.asarray(rng.standard_normal((1, H, W, 64)), jnp.float32)
+
+    def loss(ws, gammas, betas, a1):
+        out, _, _ = fused_mid_stack(ws, gammas, betas, pack_image(a1), H, 8,
+                                    jnp.float32)
+        return jnp.sum(unpack_image(out) * gref)
+
+    def run():
+        out, m, v = fused_mid_stack(ws, gammas, betas, pack_image(a1), H, 8,
+                                    jnp.float32)
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(ws, gammas, betas, a1)
+        return (out, m, v) + grads
+
+    for dot16 in ("0", "1"):
+        monkeypatch.setenv("F2F_DOT_BF16", dot16)
+        monkeypatch.delenv("F2F_ODD_CAT", raising=False)
+        ref = run()
+        monkeypatch.setenv("F2F_ODD_CAT", "1")
+        got = run()
+        for name, r, c in zip(["out", "m", "v", "dW", "dgamma", "dbeta",
+                               "da1"], ref, got):
+            assert bool(jnp.all(r == c)), (name, dot16)
