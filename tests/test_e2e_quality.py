@@ -70,3 +70,48 @@ def test_blind_denoising_improves_psnr(tmp_path, seed):
     # psnr file written with one line per processed frame
     lines = (tmp_path / "psnr.txt").read_text().strip().splitlines()
     assert len(lines) == 4
+
+
+def test_committed_checkpoint_artifact_denoises():
+    """Integrity of the committed full-scale artifact
+    (results/dncnn17_s25/checkpoint.msgpack, round-4 accuracy deliverable):
+    the 17-layer sigma=25 checkpoint must load through the serialization
+    layer and, in eval mode, denoise an unseen sigma=25 frame well above the
+    noisy input — guarding against a stale/corrupt artifact drifting from
+    the code (recipe provenance: results/dncnn17_s25/recipe.json)."""
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from frame2frame_tpu.data.datasets import synthetic_video
+    from frame2frame_tpu.models.dncnn import init_dncnn
+    from frame2frame_tpu.models.serialization import load_variables
+    from frame2frame_tpu.utils.metrics import psnr
+
+    ckpt = Path(__file__).resolve().parents[1] / "results" / "dncnn17_s25" \
+        / "checkpoint.msgpack"
+    if not ckpt.exists():
+        pytest.skip("committed checkpoint artifact not present")
+
+    model, init_vars = init_dncnn(jax.random.PRNGKey(0), channels=1,
+                                  num_layers=17, residual=True)
+    variables = load_variables(ckpt, like=init_vars)
+
+    # unseen sequence/seed vs both the training data and the trajectory run
+    clean = synthetic_video(1234, nframes=1, h=96, w=96, channels=1,
+                            texture="mixed")[0, ..., 0] / 255.0
+    rng = np.random.default_rng(1235)
+    noisy = np.clip(clean + rng.normal(0, 25 / 255.0, clean.shape), 0,
+                    1).astype(np.float32)
+    deno = model.apply({"params": variables["params"],
+                        "batch_stats": variables["batch_stats"]},
+                       jnp.asarray(noisy)[None, ..., None], train=False)
+    deno = np.asarray(deno)[0, ..., 0]
+
+    p_noisy = psnr(clean, noisy)
+    p_deno = psnr(clean, deno)
+    # recipe.json records val_psnr 28.57 dB on held-out data; require a
+    # clear denoising margin here without pinning the exact value
+    assert p_deno > p_noisy + 4.0, (p_deno, p_noisy)
+    assert p_deno > 26.0, p_deno
