@@ -442,6 +442,26 @@ def odd_cat():
     return os.environ.get("F2F_ODD_CAT", "0") != "0"
 
 
+def dz_bf16():
+    """Store the backward kernel's dz slab directly in bf16
+    (``F2F_DZ_BF16``; active only in the odd form with bf16 dot operands).
+    In that mode the f32 dz slab has no f32 consumer — both the dX and dW
+    dots read the bf16 copy — so a direct bf16 store is bit-identical to
+    {f32 store + separate astype pass} while skipping one full f32 store
+    and one astype pass per tile and halving the dz scratch. The odd slab
+    of dz then builds via ``_odd_slab_cat`` (``pltpu.roll`` is 32-bit
+    only).
+
+    Default OFF: measured and REFUTED on v5e (540p, th=8, stored-O,
+    interleaved scan-timed A/B): bwd 1.313 -> 1.362 ms/layer. The forced
+    cat build costs more than the saved passes — Mosaic fuses the f32
+    store and the astype into the existing dz chain nearly free, while the
+    cat shuffles are real extra VPU work (same failure mode as
+    ``odd_cat``). Kept as a probe switch; bit parity is pinned by
+    tests/test_fused_stack.py."""
+    return os.environ.get("F2F_DZ_BF16", "0") != "0"
+
+
 def tile_vec(v):
     """(64,) -> (128,) duplicated across the two packing parities."""
     return jnp.concatenate([v, v])
@@ -867,7 +887,7 @@ def _body_dma(hbm, dst, sems, j, slot, g, rows):
 
 def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
                 dyn_valid=False, stored_o=False, dot16=False, cat=False,
-                abl=frozenset()):
+                dz16=False, abl=frozenset()):
     rest = list(rest)
     o_hbm = rest.pop(0) if stored_o else None
     w2t_ref, vecs_ref, cmask_slab_ref = rest[:3]
@@ -935,10 +955,19 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
         dz_val = v[0, :] * gt + v[2, :] * zi + v[3, :]
         if "nomask" not in abl:  # timing-only ablation, see _ablate
             dz_val = dz_val * vm
-        dzs[:] = dz_val
-        # bf16 dot-operand copy of the dz slab (dW slices below; and the even
-        # dX slices) — one astype pass buys the bf16 MXU rate on 6-12 dots
-        dzv = dzs[:].astype(jnp.bfloat16) if dot16 else None
+        if dz16:
+            # odd+dot16: the f32 dz slab has NO f32 consumer (dX and dW dots
+            # both read the bf16 copy), so store dz bf16 directly —
+            # bit-identical outputs with one full f32 store and one astype
+            # pass fewer per tile, at half the dz scratch (``dz_bf16``)
+            dzs[:] = dz_val.astype(jnp.bfloat16)
+            dzv = dzs[:]
+        else:
+            dzs[:] = dz_val
+            # bf16 dot-operand copy of the dz slab (dW slices below; and the
+            # even dX slices) — one astype pass buys the bf16 MXU rate on
+            # 6-12 dots
+            dzv = dzs[:].astype(jnp.bfloat16) if dot16 else None
 
         # dX: three partial accumulators break the serial add chain (see
         # forward kernel). Odd form: slide the odd slab of dz with the
@@ -953,9 +982,11 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
             # dW keeps the oap x even-dz form below.
             if "noodd" in abl:
                 odzs = dzv if dot16 else dzs[:]
-            elif cat:
+            elif cat or dz16:
                 # the cat build consumes the EXISTING bf16 dot copy (dzv) —
-                # the roll build pays 3 f32 passes + a full-odd-slab astype
+                # the roll build pays 3 f32 passes + a full-odd-slab astype.
+                # Under dz16 the roll build is impossible (pltpu.roll is
+                # 32-bit only), so the cat build is mandatory.
                 odzs = _odd_slab_cat(dzv if dot16 else dzs[:])
             else:
                 odzs = _odd_slab(dzs[:])
@@ -1121,6 +1152,8 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ins.append(jnp.asarray(valid_bounds, jnp.int32))
 
+    dz16 = dz_bf16() and dot16 and odd
+    dz_dtype = jnp.bfloat16 if dz16 else jnp.float32
     if stored_o:
         # zp shrinks to the epilogue's body rows (dummy-sized on the first
         # layer, whose epilogue is skipped and zp never DMA'd or read)
@@ -1129,7 +1162,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             pltpu.VMEM((2, g.slab, 128), g_flat.dtype),     # g
             pltpu.VMEM((2, g.slab, 128), g_flat.dtype),     # zi
             pltpu.VMEM((2, zp_rows, 128), g_flat.dtype),    # zp (epilogue)
-            pltpu.VMEM((2, g.slab, 128), jnp.float32),      # dz
+            pltpu.VMEM((2, g.slab, 128), dz_dtype),         # dz
             pltpu.VMEM((2, g.n, 128), o_flat.dtype),        # stored O
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1141,7 +1174,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
             pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
             pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
             pltpu.VMEM((2, g.slab, 128), g_flat.dtype),
-            pltpu.VMEM((2, g.slab, 128), jnp.float32),
+            pltpu.VMEM((2, g.slab, 128), dz_dtype),
             pltpu.VMEM((2, g.n + ALIGN, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1151,7 +1184,7 @@ def bwd_layer(g_flat, zi_flat, zprev_flat, w2t_flat, vecs, g,
     da, dw2, stats = pl.pallas_call(
         partial(_bwd_kernel, g=g, first_layer=first_layer, odd=odd,
                 dyn_valid=dyn, stored_o=stored_o, dot16=dot16,
-                cat=odd_cat(), abl=_ablate()),
+                cat=odd_cat(), dz16=dz16, abl=_ablate()),
         grid=(g.T + 2,),
         in_specs=in_specs,
         out_specs=[

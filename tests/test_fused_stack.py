@@ -555,9 +555,15 @@ def test_odd_cat_build_bit_identical(monkeypatch):
     for dot16 in ("0", "1"):
         monkeypatch.setenv("F2F_DOT_BF16", dot16)
         monkeypatch.delenv("F2F_ODD_CAT", raising=False)
+        monkeypatch.delenv("F2F_DZ_BF16", raising=False)
         ref = run()
         monkeypatch.setenv("F2F_ODD_CAT", "1")
         got = run()
-        for name, r, c in zip(["out", "m", "v", "dW", "dgamma", "dbeta",
-                               "da1"], ref, got):
+        monkeypatch.delenv("F2F_ODD_CAT", raising=False)
+        monkeypatch.setenv("F2F_DZ_BF16", "1")
+        got_dz = run()
+        for name, r, c, d in zip(["out", "m", "v", "dW", "dgamma", "dbeta",
+                                  "da1"], ref, got, got_dz):
             assert bool(jnp.all(r == c)), (name, dot16)
+            # dz16 engages only under dot16+odd; either way must be exact
+            assert bool(jnp.all(r == d)), (name, dot16, "dz16")
