@@ -58,12 +58,15 @@ def _interpret():
 
 def _ablate():
     """TIMING-ONLY kernel ablations: ``F2F_ABLATE`` = comma list of
-    {``nomask``, ``noodd``, ``nostats``, ``nodot``} skips the named
-    per-element pass in the fused kernels to bound the yield of the
+    {``nomask``, ``noodd``, ``nostats``, ``nodot``, ``nodma``} skips the
+    named per-element pass in the fused kernels to bound the yield of the
     corresponding candidate optimization (round-3 verdict task 2: each
-    candidate needs a measured number or a measured refutation). Outputs
-    are WRONG with any ablation active — set this only in perf probes,
-    never in a real run (the probe scripts own it)."""
+    candidate needs a measured number or a measured refutation).
+    ``nodma`` skips every slab DMA start/wait (compute runs on stale
+    scratch), isolating the kernels' compute-only time — full minus nodma
+    is the un-hidden DMA wait. Outputs are WRONG with any ablation
+    active — set this only in perf probes, never in a real run (the probe
+    scripts own it)."""
     return frozenset(filter(None, os.environ.get("F2F_ABLATE", "").split(",")))
 
 
@@ -523,8 +526,9 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
     def _():
         if emit_stats:
             stats_ref[:] = jnp.zeros_like(stats_ref)
-        # prefetch the first compute tile while this zero tile writes out
-        _slab_dma(zprev_hbm, zslab, sem, 1, 1, g).start()
+        if "nodma" not in abl:  # timing-only ablation, see _ablate
+            # prefetch the first compute tile while this zero tile writes out
+            _slab_dma(zprev_hbm, zslab, sem, 1, 1, g).start()
 
     @pl.when((i == 0) | (i == g.T + 1))
     def _():
@@ -607,11 +611,13 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
     for slot in (0, 1):
         @pl.when((i > 0) & (i < g.T + 1) & (lax.rem(i, 2) == slot))
         def _(slot=slot):
-            @pl.when(i < g.T)
-            def _():
-                _slab_dma(zprev_hbm, zslab, sem, i + 1, 1 - slot, g).start()
+            if "nodma" not in abl:  # timing-only ablation, see _ablate
+                @pl.when(i < g.T)
+                def _():
+                    _slab_dma(zprev_hbm, zslab, sem, i + 1, 1 - slot,
+                              g).start()
 
-            _slab_dma(zprev_hbm, zslab, sem, i, slot, g).wait()
+                _slab_dma(zprev_hbm, zslab, sem, i, slot, g).wait()
             compute(slot)
 
 
@@ -924,8 +930,9 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
     def _():
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
         stats_ref[:] = jnp.zeros_like(stats_ref)
-        for cp in dmas(1, 1):
-            cp.start()
+        if "nodma" not in abl:  # timing-only ablation, see _ablate
+            for cp in dmas(1, 1):
+                cp.start()
 
     @pl.when((i == 0) | (i == g.T + 1))
     def _():
@@ -1089,13 +1096,14 @@ def _bwd_kernel(g_hbm, zi_hbm, zp_hbm, *rest, g, first_layer, odd,
     for slot in (0, 1):
         @pl.when((i > 0) & (i < g.T + 1) & (lax.rem(i, 2) == slot))
         def _(slot=slot):
-            @pl.when(i < g.T)
-            def _():
-                for cp in dmas(i + 1, 1 - slot):
-                    cp.start()
+            if "nodma" not in abl:  # timing-only ablation, see _ablate
+                @pl.when(i < g.T)
+                def _():
+                    for cp in dmas(i + 1, 1 - slot):
+                        cp.start()
 
-            for cp in dmas(i, slot):
-                cp.wait()
+                for cp in dmas(i, slot):
+                    cp.wait()
             compute(slot)
 
 
