@@ -13,8 +13,15 @@ Round-4 protocol (the round-3 verdict's bench hardening):
   the failure mode that produced an rc=1 BENCH_r03.json with zero evidence).
   If every retry fails, the supervisor still prints a best-effort JSON line
   with an "error" field and exits 0, so the driver always records a result;
-- >= 100 timed 540p frames after warm-up and >= 20 at 1080p, with p50/p95
-  per-frame completion intervals in "detail" (dispersion, not just a mean);
+- >= 100 timed 540p frames after warm-up (>= 5 frames) and >= 20 at 1080p,
+  with BOTH per-frame completion-interval and dispatch-interval p50/p95 in
+  "detail" (the two families measure different things under async dispatch),
+  a per-stage split of the worst frames, and the flow worker's own
+  per-solve p50/p95 (round-5 methodology fixes);
+- synthetic input is the mixed-texture natural-statistics generator
+  (data/datasets.synthetic_video texture="mixed"), not noise-like fields —
+  TV-L1's convergence gating runs 2-3x faster on natural content, so the
+  flow-hiding margin matches the reference's real derf-hd workload;
 - flow solved on the host CPU in a background thread, overlapping the TPU
   fine-tune (train/online.py AsyncFlowSolver) — per-frame wall-clock is
   max(finetune, flow), mirroring the reference's offline flow decoupling;
@@ -53,7 +60,10 @@ REF_SECONDS_PER_FRAME = 3.85  # measured C flow (0.35) + FLOP-based CUDA finetun
 
 H = int(os.environ.get("F2F_BENCH_H", "540"))
 W = int(os.environ.get("F2F_BENCH_W", "960"))
-WARMUP_FRAMES = 2
+# >= 5: the round-4 captures showed one multi-second frame early in the
+# timed window; a longer warm-up separates genuine late-compile/GC effects
+# from steady-state dispersion (round-4 verdict, weak #1)
+WARMUP_FRAMES = int(os.environ.get("F2F_BENCH_WARMUP", "5"))
 BENCH_FRAMES = int(os.environ.get("F2F_BENCH_FRAMES", "100"))
 ITERS = int(os.environ.get("F2F_BENCH_ITERS", "20"))
 BENCH_1080P_FRAMES = int(os.environ.get("F2F_BENCH_1080P_FRAMES", "20"))
@@ -115,26 +125,30 @@ def _real_frames(h, w, count):
 
 
 def _synthetic_frames(h, w, count, seed=0):
-    rng = np.random.default_rng(seed)
-    from scipy.ndimage import gaussian_filter
+    """Natural-statistics synthetic frames: the mixed-texture generator
+    (multi-scale detail + hard edges, data/datasets.synthetic_video) with
+    sigma=25 Gaussian noise — the round-4 verdict's "bank the
+    natural-statistics bench input" item. Pure noise-like fields made the
+    TV-L1 convergence gating behave 2-3x worse than on the reference's real
+    derf-hd content (BASELINE.md round-4 item 5), skewing the flow-hiding
+    margin the bench is supposed to measure."""
+    from frame2frame_tpu.data.datasets import synthetic_video
 
-    base = gaussian_filter(rng.random((h + count + 8, w + 8)).astype(np.float32), 3.0)
-    base = (base - base.min()) / (base.max() - base.min())
-    return np.stack([
-        np.clip(base[4 + t:4 + t + h, 4:4 + w]
-                + rng.normal(0, 25 / 255.0, (h, w)).astype(np.float32), 0, 1)
-        for t in range(count)
-    ]).astype(np.float32)
+    rng = np.random.default_rng(seed + 1)
+    clean = synthetic_video(seed, nframes=count, h=h, w=w, channels=1,
+                            shift=(1, 1), texture="mixed")[..., 0] / 255.0
+    noise = rng.normal(0, 25 / 255.0, clean.shape).astype(np.float32)
+    return np.clip(clean + noise, 0, 1).astype(np.float32)
 
 
-def _percentiles(intervals):
-    if not intervals:
+def _percentiles(intervals, prefix="frame_ms"):
+    if len(intervals) == 0:
         return {}
     arr = np.asarray(intervals) * 1000.0
     return {
-        "frame_ms_p50": round(float(np.percentile(arr, 50)), 1),
-        "frame_ms_p95": round(float(np.percentile(arr, 95)), 1),
-        "frame_ms_max": round(float(arr.max()), 1),
+        f"{prefix}_p50": round(float(np.percentile(arr, 50)), 1),
+        f"{prefix}_p95": round(float(np.percentile(arr, 95)), 1),
+        f"{prefix}_max": round(float(arr.max()), 1),
     }
 
 
@@ -205,14 +219,37 @@ def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None,
         deno, _ = engine.process_frame(frames_dev[i], frames_dev[i - 1], fl)
     np.asarray(deno)  # force completion
 
-    flow_wait = 0.0
-    t0 = time.perf_counter()
+    # per-frame stage instrumentation (round-4 verdict, weak #1/#2): for
+    # every timed frame record the flow wait, the dispatch duration
+    # (process_frame returns when the program is enqueued), the wait for
+    # frame i-2's readback, and the loop-iteration timestamp. The i-2 wait
+    # BOUNDS THE IN-FLIGHT WINDOW to 2 frames: JAX's async dispatch
+    # otherwise lets the loop run tens of seconds ahead of the device
+    # (measured: the whole 100-frame stream dispatched in ~25s of a 59s
+    # wall), which (a) makes loop-side timing blind to device stalls —
+    # the round-4 10-19s outlier was invisible in every dispatch-side
+    # number, (b) keeps many steps' saved activations co-resident in HBM,
+    # and (c) turns completion intervals into burst-drain artifacts (the
+    # round-4 p50 that swung 4.5x between healthy runs). Two frames of
+    # slack still fully overlaps flow/readback with device compute, so the
+    # wall stays max(step, flow).
+    flow_waits, disp_times, dev_waits, loop_t = [], [], [], None
+    loop_t = [time.perf_counter()]
+    t0 = loop_t[0]
     for i in range(warmup + 1, T):
         tw = time.perf_counter()
         fl = flow_for(i)
-        flow_wait += time.perf_counter() - tw
+        t_flow = time.perf_counter()
         deno, _ = engine.process_frame(frames_dev[i], frames_dev[i - 1], fl)
         emit(deno)
+        t_disp = time.perf_counter()
+        if len(sink) >= 2:
+            sink[-2].result()  # bound the in-flight window (see above)
+        t_done = time.perf_counter()
+        flow_waits.append(t_flow - tw)
+        disp_times.append(t_disp - t_flow)
+        dev_waits.append(t_done - t_disp)
+        loop_t.append(t_done)
     for fu in sink:
         fu.result()
     np.asarray(deno)  # force any trailing device work
@@ -220,13 +257,47 @@ def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None,
 
     nbench = T - warmup - 1
     fps = nbench / dt
+    flow_waits = np.asarray(flow_waits)
+    iter_times = np.diff(loop_t)
     detail = {
         "frames": nbench,
         "ms_per_frame": round(dt / nbench * 1000, 1),
-        "flow_wait_ms_per_frame": round(flow_wait / nbench * 1000, 1),
+        "flow_wait_ms_per_frame": round(float(flow_waits.mean()) * 1000, 1),
         "flow_backend": "cpu-overlap" if use_async else "tpu-batched",
     }
-    detail.update(_percentiles(np.diff(done_t).tolist()))
+    # headline dispersion = completion intervals (frame_ms_*, the round-4
+    # key names), with the loop-iteration family alongside; with the
+    # bounded window the two should agree — a gap between them is itself a
+    # diagnostic
+    detail.update(_percentiles(np.diff(done_t)))
+    detail.update(_percentiles(iter_times, prefix="dispatch_ms"))
+    # worst frames by loop-iteration time, with their stage split — the
+    # diagnostic the round-4 10-19s outlier lacked (device_wait_ms is the
+    # i-2 readback wait: device-side stalls land THERE)
+    worst = np.argsort(iter_times)[::-1][:3]
+    detail["worst_frames"] = [
+        {"frame": int(warmup + 1 + k),
+         "iter_ms": round(float(iter_times[k]) * 1000, 1),
+         "flow_wait_ms": round(float(flow_waits[k]) * 1000, 1),
+         "dispatch_ms": round(float(disp_times[k]) * 1000, 1),
+         "device_wait_ms": round(float(dev_waits[k]) * 1000, 1)}
+        for k in worst]
+    if use_async:
+        if solver.solve_times:
+            # the flow leg's own cost, independent of how much of it hid
+            # under the TPU step (round-4 verdict weak #3). NOTE the first
+            # solve includes the CPU solver's jit compile (~70s) — it lands
+            # in warm-up, but it is why flow_solve_ms_max is huge; steady
+            # state is the p50/p95.
+            st = np.asarray(solver.solve_times)
+            detail.update(_percentiles(st, prefix="flow_solve_ms"))
+            if len(st) > 1:
+                detail["flow_solve_ms_p50_steady"] = round(
+                    float(np.percentile(st[1:] * 1000.0, 50)), 1)
+        # drain the worker BEFORE the serving timings: on a 1-core host a
+        # still-running lookahead solve steals the whole CPU from the
+        # serving dispatch thread and corrupts those numbers
+        solver._pool.shutdown(wait=True)
 
     if serving:
         # serving path: inference-only denoise with the fine-tuned net (no
@@ -254,8 +325,6 @@ def run_stream(frames, iters=ITERS, warmup=WARMUP_FRAMES, engine=None,
                 deno_b = engine.denoise_batch(batch, route=route)
             np.asarray(deno_b)
             detail[key] = round(reps * B / (time.perf_counter() - t0), 2)
-    if use_async:
-        solver.close()
     writer.shutdown(wait=True)
     return fps, detail
 
@@ -270,7 +339,7 @@ def child_main():
 
     total = WARMUP_FRAMES + BENCH_FRAMES + 1
     frames = _real_frames(H, W, total)
-    source = "real" if frames is not None else "synthetic"
+    source = "real" if frames is not None else "synthetic-mixed"
     if frames is None:
         frames = _synthetic_frames(H, W, total)
 
@@ -290,9 +359,11 @@ def child_main():
         detail["fps_1080p"] = round(fps_hd, 4)
         detail["ms_per_frame_1080p"] = detail_hd["ms_per_frame"]
         detail["frames_1080p"] = detail_hd["frames"]
-        for k in ("frame_ms_p50", "frame_ms_p95"):
+        for k in ("frame_ms_p50", "frame_ms_p95", "flow_wait_ms_per_frame",
+                  "flow_solve_ms_p50", "flow_solve_ms_p95"):
             if k in detail_hd:
                 detail[f"{k}_1080p"] = detail_hd[k]
+        detail["worst_frames_1080p"] = detail_hd.get("worst_frames")
     except Exception as e:  # the headline metric must still print
         detail["fps_1080p_error"] = f"{type(e).__name__}: {e}"[:120]
 

@@ -205,12 +205,20 @@ class AsyncFlowSolver:
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._futs = {}
         self.lookahead = lookahead
+        # per-solve wall times (seconds), appended by the worker thread —
+        # benchmarks read this to report the flow leg's own p50/p95
+        # independently of how much of it hid under the TPU step
+        self.solve_times = []
 
     def _work(self, cur_np, prev_np):
+        import time
+
+        t0 = time.perf_counter()
         with jax.default_device(self._cpu):
             cur = jnp.asarray(cur_np[..., 0] * 255.0)
             prev = jnp.asarray(prev_np[..., 0] * 255.0)
             fl = np.asarray(self._solve(cur, prev))
+        self.solve_times.append(time.perf_counter() - t0)
         # async H2D: the transfer rides under the TPU compute in flight
         return jax.device_put(fl, self._tpu)
 
