@@ -40,6 +40,19 @@ def run_flows(vid, use_flow=True, ftype="tvl1", **params):
     Returns Config(fflow=(B,T,H,W,2), bflow=(B,T,H,W,2)).
 
     ``use_flow=False`` returns zero flows, mirroring ``flow.orun(vid, False)``.
+
+    ``ftype`` selects the estimator, like the reference's
+    ``dev_basics.flow.orun(ftype=...)`` (lightning.py:303, test.py:162):
+
+    - ``"tvl1"``: the multiscale dual TV-L1 solver (flow/tvl1.py), denoising
+      params by default;
+    - ``"cv2"``: Farneback polynomial-expansion flow (flow/farneback.py) —
+      the algorithm family behind ``cv2.calcOpticalFlowFarneback``, which is
+      what the reference's ``"cv2"`` ftype runs;
+    - ``"svnlb"``: an explicit ALIAS of ``"tvl1"``. The reference's svnlb
+      flow is the external VNLB package's bundled TV-L1 variant; this
+      harness has one TV-L1. (Until round 5 all three names silently solved
+      TV-L1 — the cv2 path is now a genuinely different estimator.)
     """
     g = _to_gray_bt(vid)
     B, T, H, W = g.shape
@@ -49,19 +62,27 @@ def run_flows(vid, use_flow=True, ftype="tvl1", **params):
     if ftype not in ("tvl1", "svnlb", "cv2"):
         raise ValueError(f"unknown flow type [{ftype}]")
 
-    kw = dict(DENOISING_PARAMS)
-    kw.update(params)
-    # small frames: the denoising params' fscale=2 (stop 2 levels above
-    # finest, tvl1flow.sh:12-18) can exceed the auto-clamped pyramid depth
-    # (coarsest >= 16 px, main.c:159-163), which in the C code solves no
-    # level at all (zero flow). The harness path clamps so at least the
-    # coarsest level solves.
-    from ..ops.pyramid import num_scales
+    if ftype == "cv2":
+        from .farneback import (DEFAULT_PARAMS, fb_params,
+                                make_batched_farneback)
 
-    ns = num_scales(W, H, kw.get("nscales", 100), kw.get("zfactor", 0.5))
-    if kw.get("fscale", 0) >= ns:
-        kw["fscale"] = max(ns - 1, 0)
-    solver = make_batched_tvl1(W, H, **kw)
+        kw = dict(DEFAULT_PARAMS)
+        kw.update(fb_params(params))
+        solver = make_batched_farneback(W, H, **kw)
+    else:
+        kw = dict(DENOISING_PARAMS)
+        kw.update(params)
+        # small frames: the denoising params' fscale=2 (stop 2 levels above
+        # finest, tvl1flow.sh:12-18) can exceed the auto-clamped pyramid depth
+        # (coarsest >= 16 px, main.c:159-163), which in the C code solves no
+        # level at all (zero flow). The harness path clamps so at least the
+        # coarsest level solves.
+        from ..ops.pyramid import num_scales
+
+        ns = num_scales(W, H, kw.get("nscales", 100), kw.get("zfactor", 0.5))
+        if kw.get("fscale", 0) >= ns:
+            kw["fscale"] = max(ns - 1, 0)
+        solver = make_batched_tvl1(W, H, **kw)
 
     # forward: pairs (t, t+1) for t in 0..T-2 ; backward: (t, t-1) for t in
     # 1..T-1 — both directions solve in ONE batched call (a single vmapped
