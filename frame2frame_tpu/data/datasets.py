@@ -238,22 +238,54 @@ def load(cfg):
             val=_load_dir_split(root, cfg, 1),
             te=_load_dir_split(root, cfg, 2),
         )
-    loaders = Config({k: _SimpleLoader(v) for k, v in data.items()})
+    # cfg.batch_size > 1 collates that many samples per TRAIN batch (val/te
+    # stay batch-of-one like data_hub) — the batch axis the offline
+    # trainer's data-parallel mesh shards (train/trainer.py:94-104)
+    bs = optional(cfg, "batch_size", 1)
+    loaders = Config({k: _SimpleLoader(v, batch_size=(bs if k == "tr" else 1))
+                      for k, v in data.items()})
     return data, loaders
 
 
 class _SimpleLoader:
-    def __init__(self, dset):
+    """Batching iterator over a VideoDataset.
+
+    batch_size=1 yields each sample with a leading singleton batch axis
+    (data_hub's convention, test.py:127). batch_size>1 stacks same-shaped
+    video samples along a new batch axis and DROPS the trailing partial
+    batch, so every step sees the full batch size (what the DP mesh
+    divisibility needs); non-array fields are collected into lists.
+    """
+
+    def __init__(self, dset, batch_size=1):
         self.dset = dset
+        self.batch_size = max(int(batch_size), 1)
+
+    def _collate(self, samples):
+        out = Config()
+        for k in samples[0]:
+            vals = [s[k] for s in samples]
+            if hasattr(vals[0], "ndim") and getattr(vals[0], "ndim", 0) >= 3:
+                out[k] = np.stack(vals)
+            else:
+                out[k] = vals[0] if len(vals) == 1 else vals
+        return out
 
     def __iter__(self):
-        for i in range(len(self.dset)):
-            s = self.dset[i]
-            yield Config({k: (v[None] if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 3 else v)
-                          for k, v in s.items()})
+        bs = self.batch_size
+        if bs == 1:
+            for i in range(len(self.dset)):
+                s = self.dset[i]
+                yield Config({k: (v[None] if hasattr(v, "ndim")
+                                  and getattr(v, "ndim", 0) >= 3 else v)
+                              for k, v in s.items()})
+            return
+        for j in range(len(self.dset) // bs):
+            yield self._collate([self.dset[j * bs + b] for b in range(bs)])
 
     def __len__(self):
-        return len(self.dset)
+        return (len(self.dset) if self.batch_size == 1
+                else len(self.dset) // self.batch_size)
 
 
 def filter_subseq(dset, vid_name, frame_start, frame_end):

@@ -67,8 +67,13 @@ def shard_batch(mesh, batch):
     spec = NamedSharding(mesh, P("data"))
     out = {}
     for k, v in dict(batch).items():
-        arr = np.asarray(v) if not hasattr(v, "shape") else v
-        if getattr(arr, "ndim", 0) >= 1 and arr.shape[0] % n_data == 0:
+        try:
+            arr = np.asarray(v) if not hasattr(v, "shape") else v
+        except ValueError:  # ragged list field (e.g. per-sample names)
+            out[k] = v
+            continue
+        if (getattr(arr, "ndim", 0) >= 1 and arr.shape[0] % n_data == 0
+                and arr.dtype.kind in "biufc"):
             out[k] = jax.device_put(jax.numpy.asarray(arr), spec)
         else:
             out[k] = v
