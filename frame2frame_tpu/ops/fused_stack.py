@@ -56,6 +56,9 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+_ABLATE_WARNED = False
+
+
 def _ablate():
     """TIMING-ONLY kernel ablations: ``F2F_ABLATE`` = comma list of
     {``nomask``, ``noodd``, ``nostats``, ``nodot``, ``nodma``} skips the
@@ -66,8 +69,23 @@ def _ablate():
     scratch), isolating the kernels' compute-only time — full minus nodma
     is the un-hidden DMA wait. Outputs are WRONG with any ablation
     active — set this only in perf probes, never in a real run (the probe
-    scripts own it)."""
-    return frozenset(filter(None, os.environ.get("F2F_ABLATE", "").split(",")))
+    scripts own it). Any active ablation emits a loud warning once per
+    process so a leftover env var cannot silently corrupt a real run;
+    note the set is read at TRACE time, so clearing the env after a jit
+    cache is built does not deactivate an already-traced ablation."""
+    abl = frozenset(filter(None, os.environ.get("F2F_ABLATE", "").split(",")))
+    unknown = abl - {"nomask", "noodd", "nostats", "nodot", "nodma"}
+    assert not unknown, f"unknown F2F_ABLATE entries: {sorted(unknown)}"
+    global _ABLATE_WARNED
+    if abl and not _ABLATE_WARNED:
+        _ABLATE_WARNED = True
+        import warnings
+
+        warnings.warn(
+            f"F2F_ABLATE={sorted(abl)} is active: fused-kernel outputs are "
+            "WRONG (timing-only ablation). Unset F2F_ABLATE unless this is "
+            "a perf probe.", stacklevel=2)
+    return abl
 
 
 def conv_mode(conv=None):
@@ -442,7 +460,7 @@ def odd_cat():
     (bf16 chain: 0.888 -> 0.897). Mosaic lowers the lane/sublane concats
     to more VPU work than roll+select; the odd-slab build is not the
     binding term at this tile size. Kept as a probe switch."""
-    return os.environ.get("F2F_ODD_CAT", "0") != "0"
+    return os.environ.get("F2F_ODD_CAT") == "1"
 
 
 def dz_bf16():
@@ -462,7 +480,7 @@ def dz_bf16():
     cat shuffles are real extra VPU work (same failure mode as
     ``odd_cat``). Kept as a probe switch; bit parity is pinned by
     tests/test_fused_stack.py."""
-    return os.environ.get("F2F_DZ_BF16", "0") != "0"
+    return os.environ.get("F2F_DZ_BF16") == "1"
 
 
 def tile_vec(v):
