@@ -157,6 +157,25 @@ def use_odd(conv=None):
     return conv_mode(conv) != "even"
 
 
+def act_value():
+    """Round-5 restructure (default ON; ``F2F_ACT_VALUE=0`` reverts): in the
+    odd forward, the masked activation stays a VALUE instead of being stored
+    to the f32 aslab scratch — its only consumer is the odd-slab build.
+
+    Measured (540p, th=8, dot16, stored-O): in the standalone probe harness
+    the fwd kernel gains 10% (1.847 -> 1.659 ms/layer,
+    scripts/exp_chain_modes.py, bit-identical z/o/stats), but at STEP level
+    the change is NEUTRAL (interleaved A/B: 29.9 vs 29.9 ms/iter) — in the
+    real step Mosaic fuses the scratch store into the chain the same way it
+    fuses the backward's dz store, and the probe win was the freed VMEM
+    (2 x slab x 128 x 4B) easing a pressure the heavier probe kernel had.
+    Kept ON for the VMEM headroom (the scratch is simply never allocated);
+    the switch exists to re-A/B when Mosaic codegen moves. The same A/B on
+    the BACKWARD dz slab measured flat (2.008 vs 2.013 ms/layer), so the
+    backward keeps its scratch (the even dX slices and dW slices read it)."""
+    return os.environ.get("F2F_ACT_VALUE", "1") == "1"
+
+
 def dot_bf16(flag=None, default=False):
     """MXU dot operands explicitly downcast to bf16 (``F2F_DOT_BF16``).
 
@@ -521,7 +540,10 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
     z_out = rest.pop(0)
     o_out = rest.pop(0) if emit_act else None
     stats_ref = rest.pop(0) if emit_stats else None
-    zslab, aslab, sem = rest
+    if len(rest) == 3:
+        zslab, aslab, sem = rest
+    else:  # odd form, act_value(): no activation scratch at all
+        (zslab, sem), aslab = rest, None
     i = pl.program_id(0)
     n, off, slab = g.n, g.off, g.slab
 
@@ -555,10 +577,8 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
             o_out[:] = jnp.zeros_like(o_out)
 
     def compute(slot):
-        # static parity: all refs statically addressed (see _bwd_kernel),
-        # and the doubled aslab breaks the write-after-read hazard so tile
-        # i+1's VPU work overlaps tile i's matmuls
-        zs, as_ = zslab.at[slot], aslab.at[slot]
+        # static parity: all refs statically addressed (see _bwd_kernel)
+        zs = zslab.at[slot]
         start = (i * (n // ALIGN) - off // ALIGN) * ALIGN
         s = vecs_ref[0, :]   # prev-layer BN scale (tiled to 128)
         b = vecs_ref[1, :]   # prev-layer BN shift
@@ -571,7 +591,18 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
         act = jnp.maximum(zs[:].astype(jnp.float32) * s + b, 0.0)
         if "nomask" not in abl:  # timing-only ablation, see _ablate
             act = act * (valid * cmask_slab_ref[:])
-        as_[:] = act
+        if aslab is None:
+            # odd form, act_value(): the activation stays a VALUE — its only
+            # consumer is the odd-slab build, so the f32 scratch round trip
+            # was pure materialization cost (round-5 A/B: -10% fwd kernel,
+            # scripts/exp_chain_modes.py; bit-identical). The scratch's old
+            # rationale (VPU/MXU overlap via the double buffer) was already
+            # refuted by the round-3 "pipe" experiment.
+            src = act
+        else:
+            as_ = aslab.at[slot]
+            as_[:] = act
+            src = as_[:]
 
         # three independent partial accumulators break the serial add chain
         # between consecutive dots so the MXU pipeline stays full.
@@ -586,12 +617,12 @@ def _fwd_kernel(zprev_hbm, w2_ref, vecs_ref, cmask_slab_ref,
             # build runs directly on the bf16 copy; the roll build must
             # stay f32 (pltpu.roll is 32-bit only) and downcast after.
             if "noodd" in abl:
-                os_ = as_[:]
+                os_ = src
             elif cat:
                 os_ = _odd_slab_cat(
-                    as_[:].astype(jnp.bfloat16) if dot16 else as_[:])
+                    src.astype(jnp.bfloat16) if dot16 else src)
             else:
-                os_ = _odd_slab(as_[:])
+                os_ = _odd_slab(src)
             if dot16 and os_.dtype != jnp.bfloat16:
                 os_ = os_.astype(jnp.bfloat16)
             if emit_act:
@@ -707,6 +738,12 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((2, 128), jnp.float32))
 
+    scratch = [pltpu.VMEM((2, g.slab, 128), zprev_flat.dtype)]
+    if not (odd and act_value()):
+        # even form: the dots slice the stored activation scratch; odd form
+        # with act_value() keeps the activation as a value (see act_value)
+        scratch.append(pltpu.VMEM((2, g.slab, 128), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     outs = pl.pallas_call(
         partial(_fwd_kernel, g=g, odd=odd, dyn_valid=dyn, stack=stack,
                 emit_act=emit_act, emit_stats=emit_stats, dot16=dot16,
@@ -715,11 +752,7 @@ def fwd_layer(zprev_flat, w2_flat, s_vec, b_vec, g, odd=False,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, g.slab, 128), zprev_flat.dtype),
-            pltpu.VMEM((2, g.slab, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
