@@ -32,14 +32,48 @@ from ..ops.warp import bilinear_warp_with_mask, occlusion_mask
 
 
 def torch_adam(lr, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-8):
-    """optax chain replicating torch.optim.Adam with L2 weight_decay
-    (decay folded into the gradient before the moment updates)."""
-    parts = []
-    if weight_decay:
-        parts.append(optax.add_decayed_weights(weight_decay))
-    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
-    parts.append(optax.scale(-lr))
-    return optax.chain(*parts)
+    """torch.optim.Adam with L2 weight_decay (decay folded into the gradient
+    before the moment updates) as a FLAT single-buffer transformation.
+
+    Same math as the optax chain add_decayed_weights -> scale_by_adam ->
+    scale(-lr) it replaces, but the moments live in ONE raveled vector and
+    the whole update is a handful of fused elementwise kernels over it.
+    Measured history (round 5, 540p online step): a standalone probe that
+    timed the step WITHOUT the optimizer attributed 4.15 ms/iter to the
+    per-leaf chain (49 DnCNN leaves x ~8 tiny moment/bias ops each), but
+    the production A/B measured the flat form NEUTRAL (33.8 vs 33.7
+    ms/iter on the same probe harness) — XLA was already fusing the
+    per-leaf update into the scan body better than kernel-count arithmetic
+    predicted, and standalone-probe totals carry a per-call readback
+    constant that bench-derived numbers (29.4 ms/iter) don't. Kept because
+    it is bit-identical (CPU A/B vs the old chain), strictly fewer emitted
+    ops, and simpler state to shard/serialize. Elementwise math is
+    unchanged per parameter, so the torch-oracle parity tests
+    (tests/test_online_parity.py) see the same trajectory.
+    opt_state: {"count": int32, "m": (N,) f32, "v": (N,) f32}.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        z = jnp.zeros_like(flat)
+        return {"count": jnp.zeros((), jnp.int32), "m": z, "v": z}
+
+    def update(grads, state, params=None):
+        g, unravel = ravel_pytree(grads)
+        if weight_decay:
+            p, _ = ravel_pytree(params)
+            g = g + weight_decay * p
+        count = state["count"] + 1
+        m = b1 * state["m"] + (1 - b1) * g
+        v = b2 * state["v"] + (1 - b2) * (g * g)
+        c = count.astype(m.dtype)
+        mhat = m / (1 - b1 ** c)
+        vhat = v / (1 - b2 ** c)
+        u = (-lr) * (mhat / (jnp.sqrt(vhat) + eps))
+        return unravel(u), {"count": count, "m": m, "v": v}
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_denoise(model, residual_model=False, spatial_mesh=None, conv=None):
