@@ -181,6 +181,21 @@ def make_online_step(model, tx, iters=20, residual_model=False, unroll=None,
         mask = occlusion_mask(flow, mask)
         target = mask * warped
 
+        from .flat_step import eligible, run_flat_scan
+
+        if eligible(model, cur.shape, conv, residual_model, spatial_mesh):
+            # round-5 flat-layout step: the whole iteration (ends + loss
+            # included) stays in the packed flat layout; per-frame constants
+            # are hoisted out of the scan (train/flat_step.py). Identical
+            # math to the body below — f32 summation order only; reverts
+            # with F2F_FLATSTEP=0.
+            params, batch_stats, opt_state, losses = run_flat_scan(
+                model, tx, iters, conv, params, batch_stats, opt_state,
+                cur, mask, target, unroll=unroll)
+            deno = denoise({"params": params, "batch_stats": batch_stats},
+                           cur, train=False)
+            return params, batch_stats, opt_state, deno, losses
+
         def body(carry, _):
             params, batch_stats, opt_state = carry
 
